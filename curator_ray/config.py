@@ -1,0 +1,64 @@
+"""Configuration dataclasses for the dedup stages.
+
+Defaults mirror the reference's fuzzy workflow defaults
+(``nemo_curator/stages/deduplication/fuzzy/workflow.py:76-82``): seed=42,
+char_ngrams=24, num_bands=20, minhashes_per_band=13 → 260 permutations,
+Jaccard threshold ≈ (1/b)^(1/r) ≈ 0.8.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FuzzyDedupConfig:
+    seed: int = 42
+    char_ngrams: int = 24
+    num_bands: int = 20
+    minhashes_per_band: int = 13
+    use_64bit_hash: bool = False
+    id_field: str = "_id"
+    text_field: str = "caption"
+    minhash_field: str = "_minhash_signature"
+    # scale knobs
+    bands_per_iteration: int = 20  # process all bands in one pass by default
+    max_bucket_block_rows: int = 1 << 20
+    cc_driver_fallback_edges: int = 2_000_000  # below this, union-find on the driver
+    cc_max_iterations: int = 25
+    cc_num_partitions: int = 64
+
+    @property
+    def num_hashes(self) -> int:
+        return self.num_bands * self.minhashes_per_band
+
+
+@dataclass(frozen=True)
+class ExactDedupConfig:
+    id_field: str = "_id"
+    text_field: str = "caption"
+
+
+@dataclass(frozen=True)
+class SimHashConfig:
+    """Bit-chunk banding over a 64-bit hash column (Charikar-style SimHash
+    candidate generation; graft-specific, see SURVEY.md §2.7)."""
+
+    hash_field: str = "phash"
+    id_field: str = "_id"
+    num_chunks: int = 4  # 4 x 16-bit chunks -> catches Hamming distance <= 3 fully,
+    hamming_threshold: int = 4  # verified pairwise inside each candidate bucket
+    num_chunks_choose: int = 2  # band over pairs of chunks for radius 4 coverage
+
+
+@dataclass(frozen=True)
+class SemanticDedupConfig:
+    n_clusters: int = 100
+    eps: float = 0.01  # remove rows with max cosine sim >= 1 - eps
+    which_to_keep: str = "hard"  # hard | easy | random (reference ranking.py:21-104)
+    embedding_field: str = "embedding"
+    id_field: str = "_id"
+    kmeans_max_iters: int = 20
+    kmeans_sample_size: int = 100_000
+    seed: int = 42
+    pairwise_batch_size: int = 1024

@@ -1,0 +1,104 @@
+"""Exact deduplication: content-hash groupby + keep-first.
+
+Reference semantics (``nemo_curator/stages/deduplication/exact/
+identification.py:113-268``): md5(text) as the group key, hash-shuffle, keep
+one row per group, emit the rest as sorted removal ids.
+
+Ray-Data-native version with a combiner: the content hash is a 128-bit
+murmur3 (collision-equivalent to md5 for grouping); inside each ``map_batches``
+block all-but-the-min rows of a batch-local hash group are *already known*
+duplicates and are emitted directly, so the global ``groupby`` only sees one
+representative (hash, local_min_id) row per (hash, block) — the same
+pre-aggregation that caps skew in the LSH stage. A million identical captions
+cost the shuffle ``num_blocks`` rows, not a million.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.murmur import hash_bytes_grouped, murmur3_x64_128
+from ..functions.shingles import _string_array_buffers
+
+
+def content_hash128(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) uint64 murmur3_x64_128 of each string in the column."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.fill_null("")
+    data, offsets = _string_array_buffers(arr)
+    lengths = offsets[1:] - offsets[:-1]
+    m = len(lengths)
+    hi = np.zeros(m, dtype=np.uint64)
+    lo = np.zeros(m, dtype=np.uint64)
+    order = np.argsort(lengths, kind="stable")
+    sorted_len = lengths[order]
+    boundaries = np.flatnonzero(np.diff(sorted_len)) + 1
+    for grp in np.split(order, boundaries):
+        if len(grp) == 0:
+            continue
+        length = int(lengths[grp[0]])
+        if length == 0:
+            mat = np.zeros((len(grp), 0), dtype=np.uint8)
+        else:
+            mat = data[offsets[:-1][grp][:, None] + np.arange(length)[None, :]]
+        h1, h2 = murmur3_x64_128(mat, seed=0)
+        hi[grp], lo[grp] = h1, h2
+    return hi, lo
+
+
+def _local_exact(batch: pa.Table, *, text_field: str, id_field: str, emit: str) -> pa.Table:
+    hi, lo = content_hash128(batch.column(text_field))
+    ids = batch.column(id_field).to_numpy()
+    order = np.lexsort((ids, lo, hi))
+    shi, slo, sid = hi[order], lo[order], ids[order]
+    new_run = np.empty(len(order), dtype=bool)
+    if len(order) == 0:
+        new_run = new_run
+    else:
+        new_run[0] = True
+        new_run[1:] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
+    run_starts = np.flatnonzero(new_run)
+    if emit == "removals":
+        # everything that is not the first (min-id) row of its batch-local run
+        keep_first = np.zeros(len(order), dtype=bool)
+        keep_first[run_starts] = True
+        return pa.table({"_id": pa.array(sid[~keep_first], pa.int64())})
+    sizes = np.diff(np.append(run_starts, len(order)))
+    return pa.table(
+        {
+            "hash_hi": pa.array(shi[run_starts], pa.uint64()),
+            "hash_lo": pa.array(slo[run_starts], pa.uint64()),
+            "rep": pa.array(sid[run_starts], pa.int64()),
+            "cnt": pa.array(sizes.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _global_keep_first(group: pa.Table) -> pa.Table:
+    reps = np.sort(group.column("rep").to_numpy())
+    return pa.table({"_id": pa.array(reps[1:], pa.int64())})
+
+
+def exact_duplicate_ids(ds, text_field: str = "caption", id_field: str = "_id"):
+    """Dataset -> sorted Dataset[(_id,)] of rows to remove (keep min id per
+    identical-text group). ``ds`` is consumed twice — materialize or point at
+    a parquet source."""
+    local_removals = ds.map_batches(
+        functools.partial(_local_exact, text_field=text_field, id_field=id_field, emit="removals"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    reps = ds.map_batches(
+        functools.partial(_local_exact, text_field=text_field, id_field=id_field, emit="reps"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    global_removals = reps.groupby(["hash_hi", "hash_lo"]).map_groups(
+        _global_keep_first, batch_format="pyarrow"
+    )
+    return local_removals.union(global_removals).sort("_id")

@@ -1,0 +1,176 @@
+"""LSH banding -> candidate edges, with per-batch partial aggregation.
+
+The reference melts signatures into (doc_id, bucket_id) long form and runs a
+full shuffle on bucket_id before grouping (``fuzzy/lsh/lsh.py:152-256``), then
+emits pairwise-chain edges per bucket (``fuzzy/buckets_to_edges.py:72-84``).
+
+At 10^12 rows the long-form shuffle is the bottleneck and hot buckets (constant
+captions) are an unbounded skew hazard, so this implementation pushes a
+combiner into ``map_batches`` (the standard pre-aggregation pattern):
+
+- within each Arrow batch, rows sharing a bucket are connected immediately by
+  *star* edges to the batch-local minimum id (same connectivity the reference's
+  pairwise chain provides, but diameter 2, which bounds the rounds the
+  distributed connected-components stage needs);
+- only ONE representative row per (bucket, batch) — ``(bucket, local_min,
+  count)`` — enters the global shuffle, so a bucket containing a million copies
+  of the same caption contributes at most ``num_blocks`` rows to the groupby
+  instead of a million (bounded-size band buckets per the north rule);
+- the global ``groupby(bucket)`` stars the representatives together and drops
+  global singletons (``lsh.py:250-254`` semantics).
+
+Bucket keys are 128-bit (murmur3_x64_128 of the band slice, seeded by band
+index) matching the collision behavior of the reference's md5 band keys.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import FuzzyDedupConfig
+from ..functions.murmur import murmur3_x64_128
+
+EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+
+def band_hashes(sig: np.ndarray, band_range: range, minhashes_per_band: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, num_bands) 128-bit band keys as (hi, lo) uint64 matrices."""
+    n = sig.shape[0]
+    his = np.empty((n, len(band_range)), dtype=np.uint64)
+    los = np.empty((n, len(band_range)), dtype=np.uint64)
+    for j, b in enumerate(band_range):
+        sl = np.ascontiguousarray(sig[:, b * minhashes_per_band : (b + 1) * minhashes_per_band])
+        rows = sl.view(np.uint8).reshape(n, -1)
+        h1, h2 = murmur3_x64_128(rows, seed=b + 1)
+        his[:, j] = h1
+        los[:, j] = h2
+    return his, los
+
+
+def _sig_matrix(batch: pa.Table, minhash_field: str) -> np.ndarray:
+    col = batch.column(minhash_field)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    width = col.type.list_size
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), width)
+
+
+def _bucket_runs(hi: np.ndarray, lo: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sort order + run boundaries for the (hi, lo) key pairs."""
+    order = np.lexsort((lo, hi))
+    shi, slo = hi[order], lo[order]
+    new_run = np.empty(len(order), dtype=bool)
+    new_run[0] = True
+    np.not_equal(shi[1:], shi[:-1], out=new_run[1:])
+    new_run[1:] |= slo[1:] != slo[:-1]
+    return order, np.flatnonzero(new_run)
+
+
+def _local_bands_batch(
+    batch: pa.Table, *, cfg: FuzzyDedupConfig, band_range: range, emit: str
+) -> pa.Table:
+    """Shared kernel for the two outputs of the banding pass.
+
+    emit="edges": batch-local star edges (src=local min, dst=other members).
+    emit="reps":  one (bucket_hi, bucket_lo, rep, cnt) row per (bucket, batch).
+    """
+    sig = _sig_matrix(batch, cfg.minhash_field)
+    ids = batch.column(cfg.id_field).to_numpy()
+    n, nb = len(ids), len(band_range)
+    if n == 0:
+        if emit == "edges":
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "bucket_hi": pa.array([], pa.uint64()),
+                "bucket_lo": pa.array([], pa.uint64()),
+                "rep": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    his, los = band_hashes(sig, band_range, cfg.minhashes_per_band)
+    flat_hi = his.T.ravel()  # band-major so runs never span bands
+    flat_lo = los.T.ravel()
+    flat_id = np.tile(ids, nb)
+    order, run_starts = _bucket_runs(flat_hi, flat_lo)
+    sid = flat_id[order]
+    run_ends = np.append(run_starts[1:], len(sid))
+    run_min = np.minimum.reduceat(sid, run_starts)
+    sizes = run_ends - run_starts
+
+    if emit == "edges":
+        multi = sizes > 1
+        if not multi.any():
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        member_src = np.repeat(run_min, sizes)
+        mask = sid != member_src
+        return pa.table(
+            {"src": pa.array(member_src[mask], pa.int64()), "dst": pa.array(sid[mask], pa.int64())}
+        )
+
+    return pa.table(
+        {
+            "bucket_hi": pa.array(flat_hi[order][run_starts], pa.uint64()),
+            "bucket_lo": pa.array(flat_lo[order][run_starts], pa.uint64()),
+            "rep": pa.array(run_min, pa.int64()),
+            "cnt": pa.array(sizes.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _global_star(group: pa.Table) -> pa.Table:
+    reps = group.column("rep").to_numpy()
+    cnts = group.column("cnt").to_numpy()
+    if int(cnts.sum()) <= 1:
+        # global singleton bucket: cannot form duplicates (lsh.py:250-254)
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    uniq = np.unique(reps)
+    if len(uniq) <= 1:
+        # one representative: members already star-connected batch-locally
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    m = uniq[0]
+    return pa.table({"src": pa.array(np.full(len(uniq) - 1, m), pa.int64()), "dst": pa.array(uniq[1:], pa.int64())})
+
+
+def lsh_candidate_edges(ds_sig, cfg: FuzzyDedupConfig, band_range: range | None = None):
+    """Signature Dataset -> candidate edge Dataset (src, dst) int64.
+
+    ``ds_sig`` is consumed twice (local-edge pass + representative pass); point
+    it at the materialized minhash cache, not at the raw pipeline, so minhash
+    isn't recomputed (the reference persists its minhash parquet between
+    pipelines for the same reason, ``fuzzy/workflow.py:200-255``).
+    """
+    band_range = band_range if band_range is not None else range(cfg.num_bands)
+    local = ds_sig.map_batches(
+        functools.partial(_local_bands_batch, cfg=cfg, band_range=band_range, emit="edges"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    reps = ds_sig.map_batches(
+        functools.partial(_local_bands_batch, cfg=cfg, band_range=band_range, emit="reps"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    global_edges = reps.groupby(["bucket_hi", "bucket_lo"]).map_groups(
+        _global_star, batch_format="pyarrow"
+    )
+    return local.union(global_edges)
+
+
+def buckets_to_edges(ids: list[int], mode: str = "chain") -> list[tuple[int, int]]:
+    """Reference-parity helper: one bucket's id list -> edges.
+
+    mode="chain" reproduces the reference's consecutive-pair emission
+    (``fuzzy/buckets_to_edges.py:75-81``); mode="star" is what the pipeline
+    uses (same connectivity, diameter 2).
+    """
+    ids = sorted(ids)
+    if len(ids) < 2:
+        return []
+    if mode == "chain":
+        return list(zip(ids[:-1], ids[1:]))
+    return [(ids[0], x) for x in ids[1:]]
