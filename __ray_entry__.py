@@ -1,44 +1,468 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship image-dedup workflow on a small deterministic
+synthetic image+caption table; ``queries()`` exposes one callable per
+implemented operator family (SURVEY.md §2) over ``sf_dir`` parquet tables;
+``oracle_sql()`` gives DuckDB-equivalent SQL for every SQL-expressible query
+(fuzzy/simhash/semantic/ANN-approximate ops are rows-only by design).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import re
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_SYNTH_ROWS = 300
+
+
+def _read(sf_dir: str, name: str):
+    import ray
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _synth_dir(sf_dir: str) -> str:
+    """Deterministic synthetic image+caption table (input_hint schema),
+    cached under /tmp per size. Size scales mildly with sf."""
+    from curator_ray.sources.synth import write_synth_dataset
+
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.01
+    n = max(_SYNTH_ROWS, min(int(20000 * sf), 2000))
+    path = f"/tmp/curator_ray_synth_{n}"
+    if not os.path.exists(os.path.join(path, "part-000000000000.parquet")):
+        write_synth_dataset(path, n_rows=n, rows_per_file=500)
+    return path
+
+
+def _ids_docs(ds):
+    from curator_ray.stages.ids import with_ids
+
+    return with_ids(ds, key_field="doc_id")
+
+
+_REMOVAL_SCHEMA = pa.schema([("_id", pa.int64())])
+
+
+def _collect(ds, schema: pa.Schema = _REMOVAL_SCHEMA) -> pa.Table:
+    """Collect a small result Dataset to an Arrow table, preserving the schema
+    even when the result is empty (an empty Ray Dataset drops its schema on
+    conversion, which would fail the driver's schema compare)."""
+    parts = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    parts = [p.select(schema.names).cast(schema) for p in parts if p.num_rows]
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables(parts)
+
+
+# --------------------------------------------------------------------------
+# SQL-expressible queries (documents / events / embeddings tables)
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup_removals(sf_dir: str):
+    from curator_ray.stages.exact import exact_duplicate_ids
+
+    ds = _ids_docs(_read(sf_dir, "documents")).materialize()
+    return _collect(exact_duplicate_ids(ds, text_field="text"))
+
+
+def q_exact_dedup_prefix40(sf_dir: str):
+    from curator_ray.stages.exact import exact_duplicate_ids
+
+    def add_prefix(b: pa.Table) -> pa.Table:
+        return b.append_column("prefix", pc.utf8_slice_codeunits(b.column("text"), 0, 40))
+
+    ds = _ids_docs(_read(sf_dir, "documents")).map_batches(
+        add_prefix, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    return _collect(exact_duplicate_ids(ds, text_field="prefix"))
+
+
+def q_word_count(sf_dir: str):
+    from curator_ray.stages.text import word_count
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "n_words": pc.cast(word_count(b.column("text")), pa.int64())}
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_token_count(sf_dir: str):
+    from curator_ray.stages.text import token_count
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "n_tokens": pc.cast(token_count(b.column("text")), pa.int64())}
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_word_filter(sf_dir: str):
+    from curator_ray.stages.text import word_count
+
+    def fn(b: pa.Table) -> pa.Table:
+        n = word_count(b.column("text"))
+        mask = pc.and_(pc.greater_equal(n, 20), pc.less_equal(n, 60))
+        kept = b.filter(mask)
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "n_words": pc.cast(word_count(kept.column("text")), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_digit_count(sf_dir: str):
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_digits": pc.cast(pc.count_substring_regex(b.column("text"), r"[0-9]"), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quality_score(sf_dir: str):
+    from curator_ray.stages.text import quality_score
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "quality": pc.cast(quality_score(b.column("text")), pa.float64())}
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_url_removed(sf_dir: str):
+    from curator_ray.stages.text import url_remover
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "text": url_remover(b.column("text"))})
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_docs_by_source(sf_dir: str):
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": b.column("count()"),
+                "sum_chars": b.column("sum(n_chars)"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents")
+        .groupby("source")
+        .aggregate(__import__("ray").data.aggregate.Count(), __import__("ray").data.aggregate.Sum("n_chars"))
+        .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_docs_by_lang(sf_dir: str):
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": b.column("lang"), "n_docs": b.column("count()")})
+
+    return (
+        _read(sf_dir, "documents")
+        .groupby("lang")
+        .count()
+        .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_top10_longest(sf_dir: str):
+    ds = _read(sf_dir, "documents")
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "n_chars": b.column("n_chars")})
+
+    # deterministic top-k: sort by (n_chars desc, doc_id asc)
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column("_neg", pc.negate(b.column("n_chars")))
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["_neg", "doc_id"])
+        .limit(10)
+        .map_batches(lambda b: b.drop_columns(["_neg"]), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_events_by_type(sf_dir: str):
+    def pre(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+        return pa.table({"event_type": b.column("event_type"), "cents": cents})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_events": b.column("count()"),
+                "sum_cents": b.column("sum(cents)"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events")
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(__import__("ray").data.aggregate.Count(), __import__("ray").data.aggregate.Sum("cents"))
+        .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _query_vectors(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    order = pc.sort_indices(tbl.column("vec_id"))
+    tbl = tbl.take(order[:n])
+    return np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    from curator_ray.stages.ann import brute_force_topk
+
+    q = _query_vectors(sf_dir, 3)
+    res = brute_force_topk(_read(sf_dir, "embeddings"), q, k=10)
+    return res.map_batches(
+        lambda b: b.drop_columns(["score"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible (rows-only) queries
+# --------------------------------------------------------------------------
+
+
+def q_minhash_docs(sf_dir: str):
+    from curator_ray.config import FuzzyDedupConfig
+    from curator_ray.stages.minhash import minhash_stage
+
+    cfg = FuzzyDedupConfig(id_field="doc_id", text_field="text", num_bands=8, minhashes_per_band=4)
+    return minhash_stage(_read(sf_dir, "documents"), cfg, keep_fields=("doc_id",))
+
+
+def q_fuzzy_dedup_images(sf_dir: str):
+    from curator_ray.config import FuzzyDedupConfig
+    from curator_ray.pipelines.fuzzy import fuzzy_duplicate_ids
+    from curator_ray.stages.ids import with_ids
+    import ray
+
+    ds = with_ids(
+        ray.data.read_parquet(_synth_dir(sf_dir), columns=["image_id", "caption"]), key_field="image_id"
+    ).materialize()
+    removal, _labels = fuzzy_duplicate_ids(ds, FuzzyDedupConfig(char_ngrams=12))
+    return _collect(removal)
+
+
+def q_simhash_images(sf_dir: str):
+    from curator_ray.config import FuzzyDedupConfig, SimHashConfig
+    from curator_ray.stages.cc import connected_components, removal_ids
+    from curator_ray.stages.ids import with_ids
+    from curator_ray.stages.simhash import simhash_candidate_edges
+    import ray
+
+    ds = with_ids(
+        ray.data.read_parquet(_synth_dir(sf_dir), columns=["image_id", "phash"]), key_field="image_id"
+    ).materialize()
+    edges = simhash_candidate_edges(ds, SimHashConfig())
+    return _collect(removal_ids(connected_components(edges, FuzzyDedupConfig())))
+
+
+def q_substring_images(sf_dir: str):
+    from curator_ray.config import FuzzyDedupConfig
+    from curator_ray.stages.cc import connected_components, removal_ids
+    from curator_ray.stages.ids import with_ids
+    from curator_ray.stages.substring import substring_candidate_edges
+    import ray
+
+    ds = with_ids(
+        ray.data.read_parquet(_synth_dir(sf_dir), columns=["image_id", "caption"]), key_field="image_id"
+    ).materialize()
+    edges = substring_candidate_edges(ds, min_match_length=40)
+    return _collect(removal_ids(connected_components(edges, FuzzyDedupConfig())))
+
+
+def q_image_dedup_survivors(sf_dir: str):
+    import shutil
+    import ray
+
+    from curator_ray.pipelines.image_dedup import image_dedup_workflow
+
+    out = "/tmp/curator_ray_flagship_out"
+    shutil.rmtree(out, ignore_errors=True)
+    image_dedup_workflow(_synth_dir(sf_dir), out, use_substring=False)
+    return ray.data.read_parquet(os.path.join(out, "survivors")).select_columns(
+        ["image_id", "caption", "phash"]
+    )
+
+
+def q_semantic_dedup(sf_dir: str):
+    from curator_ray.config import SemanticDedupConfig
+    from curator_ray.stages.semantic import semantic_duplicate_ids
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["_id", "embedding"])
+
+    ds = (
+        _read(sf_dir, "embeddings")
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    removal, _ = semantic_duplicate_ids(ds, SemanticDedupConfig(n_clusters=20, eps=0.05))
+    return _collect(removal)
+
+
+def q_lsh_ann_topk(sf_dir: str):
+    from curator_ray.stages.ann import lsh_topk
+
+    q = _query_vectors(sf_dir, 3)
+    return lsh_topk(_read(sf_dir, "embeddings"), q, k=10, num_tables=12, num_bits=8)
+
+
+def q_lang_id(sf_dir: str):
+    from curator_ray.stages.text import lang_id
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "lang_pred": lang_id(b.column("text").combine_chunks() if isinstance(b.column("text"), pa.ChunkedArray) else b.column("text"))})
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_fingerprint(sf_dir: str):
+    from curator_ray.stages.text import fingerprint_stage
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return fingerprint_stage(ds, "text").map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"), "fingerprint": b.column("fingerprint")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke: full image dedup on the synthetic table."""
+    return q_image_dedup_survivors("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "exact_dedup_removals": q_exact_dedup_removals,
+        "exact_dedup_prefix40": q_exact_dedup_prefix40,
+        "word_count": q_word_count,
+        "token_count": q_token_count,
+        "word_filter": q_word_filter,
+        "digit_count": q_digit_count,
+        "quality_score": q_quality_score,
+        "url_removed": q_url_removed,
+        "docs_by_source": q_docs_by_source,
+        "docs_by_lang": q_docs_by_lang,
+        "top10_longest": q_top10_longest,
+        "events_by_type": q_events_by_type,
+        "ann_topk": q_ann_topk,
+        # rows-only (non-SQL-expressible)
+        "minhash_docs": q_minhash_docs,
+        "fuzzy_dedup_images": q_fuzzy_dedup_images,
+        "simhash_images": q_simhash_images,
+        "substring_images": q_substring_images,
+        "image_dedup_survivors": q_image_dedup_survivors,
+        "semantic_dedup": q_semantic_dedup,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS wc,
+         length(text) AS nch,
+         len(regexp_extract_all(text, '[a-zA-Z0-9]')) AS alnum,
+         len(regexp_extract_all(text, '(?i)\b(the|of|and|to|in|a|is|that|it|was|for|on|are|as|with|his|they|at|be|this|have|from|or|had|by|not|but|what|all|were|when|we|there|can|an|your|which)\b')) AS stops,
+         len(regexp_extract_all(text, '\s')) AS ws
+  FROM documents
+)
+SELECT doc_id,
+       (CASE WHEN wc BETWEEN 5 AND 5000 THEN 0.25 ELSE 0 END
+      + CASE WHEN (CASE WHEN nch > 0 THEN (nch - alnum)::DOUBLE / nch ELSE 0 END) < 0.3 THEN 0.25 ELSE 0 END
+      + CASE WHEN (CASE WHEN wc > 0 THEN stops::DOUBLE / wc ELSE 0 END) > 0.05 THEN 0.25 ELSE 0 END
+      + CASE WHEN (CASE WHEN nch > 0 THEN ws::DOUBLE / nch ELSE 0 END) < 0.35 THEN 0.25 ELSE 0 END
+       )::DOUBLE AS quality
+FROM t
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_removals": (
+            "SELECT doc_id AS _id FROM documents "
+            "WHERE doc_id NOT IN (SELECT MIN(doc_id) FROM documents GROUP BY text) ORDER BY _id"
+        ),
+        "exact_dedup_prefix40": (
+            "SELECT doc_id AS _id FROM documents "
+            "WHERE doc_id NOT IN (SELECT MIN(doc_id) FROM documents GROUP BY substr(text,1,40)) ORDER BY _id"
+        ),
+        "word_count": (
+            r"SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_words FROM documents"
+        ),
+        "token_count": (
+            r"SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens FROM documents"
+        ),
+        "word_filter": (
+            r"WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_words FROM documents) "
+            "SELECT doc_id, n_words FROM t WHERE n_words BETWEEN 20 AND 60"
+        ),
+        "digit_count": "SELECT doc_id, len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits FROM documents",
+        "quality_score": _QUALITY_SQL,
+        "url_removed": (
+            r"SELECT doc_id, regexp_replace(text, 'https?://\S+|www\.\S+', '', 'g') AS text FROM documents"
+        ),
+        "docs_by_source": (
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars FROM documents GROUP BY source"
+        ),
+        "docs_by_lang": "SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+        "top10_longest": (
+            "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10"
+        ),
+        "events_by_type": (
+            "SELECT event_type, COUNT(*)::BIGINT AS n_events, "
+            "SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT AS sum_cents FROM events GROUP BY event_type"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "      list_cosine_similarity(q.qe, e.embedding) AS sim FROM q CROSS JOIN embeddings e) "
+            "SELECT query_id, vec_id, rank FROM ("
+            "  SELECT query_id, vec_id, ROW_NUMBER() OVER "
+            "  (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) WHERE rank <= 10"
+        ),
+    }

@@ -1,0 +1,288 @@
+"""Benchmark harness for the curator_ray engine.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on a fresh local Ray with
+``num_cpus=$RAY_GRAFT_CPUS`` (default 32) and prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "images_per_sec": ...}
+
+``--scaling`` runs the flagship image-dedup pipeline twice in fresh
+subprocesses (num_cpus=8 then 32 — the sandbox proxy for N vs 4N nodes),
+prints both throughputs and the scaling efficiency, and refreshes the
+"Measured scaling" section of BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else 0.1
+
+
+def _synth_bench_dir(n_rows: int) -> str:
+    """Pixel-less synthetic image table for signature-throughput benchmarking
+    (FIXTURES.md F1: pixels optional at bench scale); cached across runs."""
+    import ray
+
+    from curator_ray.sources.synth import generate_rows
+
+    path = f"/tmp/curator_ray_bench_{n_rows}"
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    import pyarrow as pa
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return generate_rows(batch.column("id").to_numpy(), seed=42, with_pixels=False)
+
+    ray.data.range(n_rows).map_batches(gen, batch_format="pyarrow", batch_size=4096).write_parquet(path)
+    open(marker, "w").write("ok")
+    return path
+
+
+def bench_flagship(n_rows: int) -> tuple[float, dict]:
+    """Full image dedup (fuzzy captions + simhash + CC + removal ids)."""
+    from curator_ray.config import FuzzyDedupConfig
+    from curator_ray.pipelines.image_dedup import image_dedup_workflow
+
+    path = _synth_bench_dir(n_rows)
+    out = "/tmp/curator_ray_bench_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    counters = image_dedup_workflow(
+        path,
+        out,
+        fuzzy=FuzzyDedupConfig(char_ngrams=12),
+        use_substring=True,
+        write_survivors=False,
+    )
+    return time.time() - t0, counters
+
+
+def bench_fuzzy_docs() -> float:
+    import ray
+
+    from curator_ray.config import FuzzyDedupConfig
+    from curator_ray.pipelines.fuzzy import fuzzy_duplicate_ids
+    from curator_ray.stages.ids import with_ids
+
+    t0 = time.time()
+    ds = with_ids(
+        ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]),
+        key_field="doc_id",
+    ).materialize()
+    cfg = FuzzyDedupConfig(text_field="text", id_field="_id")
+    removal, _ = fuzzy_duplicate_ids(ds, cfg)
+    removal.count()
+    return time.time() - t0
+
+
+def bench_exact_docs() -> float:
+    import ray
+
+    from curator_ray.stages.exact import exact_duplicate_ids
+    from curator_ray.stages.ids import with_ids
+
+    t0 = time.time()
+    ds = with_ids(
+        ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]),
+        key_field="doc_id",
+    ).materialize()
+    exact_duplicate_ids(ds, text_field="text").count()
+    return time.time() - t0
+
+
+def bench_text_stats() -> float:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from curator_ray.stages.text import quality_score, token_count, word_count
+
+    t0 = time.time()
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_words": word_count(b.column("text")),
+                "n_tokens": token_count(b.column("text")),
+                "quality": quality_score(b.column("text")),
+            }
+        )
+
+    ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet")).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    ).count()
+    return time.time() - t0
+
+
+def bench_ann() -> float:
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from curator_ray.stages.ann import brute_force_topk
+
+    t0 = time.time()
+    tbl = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    q = np.array(tbl.column("embedding").to_pylist()[:16], dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    brute_force_topk(ds, q, k=10).count()
+    return time.time() - t0
+
+
+def bench_semantic() -> float:
+    import pyarrow as pa
+    import ray
+
+    from curator_ray.config import SemanticDedupConfig
+    from curator_ray.stages.semantic import semantic_duplicate_ids
+
+    t0 = time.time()
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["_id", "embedding"])
+
+    ds = (
+        ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        .map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    removal, _ = semantic_duplicate_ids(ds, SemanticDedupConfig(n_clusters=20, eps=0.05))
+    removal.count()
+    return time.time() - t0
+
+
+def run_suite() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    sf = _sf()
+    n_img = max(10_000, int(1_000_000 * sf))
+    queries: dict[str, float] = {}
+    t_flagship, counters = bench_flagship(n_img)
+    queries["image_dedup_flagship"] = round(t_flagship, 3)
+    queries["fuzzy_dedup_docs"] = round(bench_fuzzy_docs(), 3)
+    queries["exact_dedup_docs"] = round(bench_exact_docs(), 3)
+    queries["text_stats_docs"] = round(bench_text_stats(), 3)
+    queries["ann_topk"] = round(bench_ann(), 3)
+    queries["semantic_dedup"] = round(bench_semantic(), 3)
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "curator_ray dedup suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "images_per_sec": round(n_img / t_flagship, 1),
+        "flagship_rows": n_img,
+        "flagship_duplicates": counters.get("num_duplicates"),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same flagship job at 8 and 32 CPUs in fresh processes (N vs 4N proxy)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["value"], results[32]["value"]
+    n = results[32]["flagship_rows"]
+    thr8, thr32 = n / t8, n / t32
+    eff = (thr32 / thr8) / (32 / 8)
+    summary = {
+        "metric": "scaling efficiency 8->32 cpus (N vs 4N proxy)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {"t_8cpu": round(t8, 2), "t_32cpu": round(t32, 2)},
+        "sf": _sf(),
+        "num_cpus": 32,
+        "throughput_8cpu_images_per_sec": round(thr8, 1),
+        "throughput_32cpu_images_per_sec": round(thr32, 1),
+    }
+    _update_baseline_md(summary)
+    return summary
+
+
+def _update_baseline_md(summary: dict) -> None:
+    path = os.path.join(REPO, "BASELINE.md")
+    try:
+        text = open(path).read()
+    except OSError:
+        text = ""
+    marker = "\n## Measured scaling (this engine)\n"
+    block = (
+        f"{marker}\n"
+        f"- flagship image-dedup at sf={summary['sf']}: "
+        f"{summary['throughput_8cpu_images_per_sec']} images/s @ 8 cpus, "
+        f"{summary['throughput_32cpu_images_per_sec']} images/s @ 32 cpus, "
+        f"scaling efficiency (8→32, N vs 4N proxy) = {summary['value']}\n"
+    )
+    if marker in text:
+        text = text[: text.index(marker)] + block
+    else:
+        text = text + block
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def run_flagship_only() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    sf = _sf()
+    n_img = max(10_000, int(1_000_000 * sf))
+    _synth_bench_dir(n_img)  # warm the cache outside the timed region
+    t, counters = bench_flagship(n_img)
+    ray.shutdown()
+    return {
+        "metric": "flagship image dedup wall time",
+        "value": round(t, 3),
+        "unit": "sec",
+        "queries": {"image_dedup_flagship": round(t, 3)},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "flagship_rows": n_img,
+        "images_per_sec": round(n_img / t, 1),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--flagship-only" in sys.argv:
+        print(json.dumps(run_flagship_only()))
+    else:
+        print(json.dumps(run_suite()))

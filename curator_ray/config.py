@@ -46,9 +46,11 @@ class SimHashConfig:
 
     hash_field: str = "phash"
     id_field: str = "_id"
-    num_chunks: int = 4  # 4 x 16-bit chunks -> catches Hamming distance <= 3 fully,
+    num_chunks: int = 4  # 4 x 16-bit chunks -> catches Hamming distance <= 3 fully
     hamming_threshold: int = 4  # verified pairwise inside each candidate bucket
-    num_chunks_choose: int = 2  # band over pairs of chunks for radius 4 coverage
+    # single-chunk bands guarantee recall at Hamming < num_chunks but are hot
+    # keys at 10^12 rows; chunk-pair bands (always on) have 2^32 key space.
+    use_single_chunk_bands: bool = True
 
 
 @dataclass(frozen=True)

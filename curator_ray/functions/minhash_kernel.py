@@ -70,13 +70,15 @@ def minhash_signatures(
 
     sig = np.empty((n_docs, n_perms), dtype=np.uint64)
     m = len(h)
-    # chunk permutations so the (chunk, m) intermediate stays ~64 MB
-    chunk = max(1, min(n_perms, int(8_000_000 / max(m, 1)) + 1))
-    for p0 in range(0, n_perms, chunk):
-        p1 = min(n_perms, p0 + chunk)
-        # (c, m) = a[:,None]*h[None,:] + b  (wraps mod 2**64, then mod prime —
-        # same order of operations as the 64-bit GPU path)
-        pv = a[p0:p1, None] * h[None, :] + b[p0:p1, None]
-        pv %= prime
-        sig[:, p0:p1] = np.minimum.reduceat(pv, doc_starts, axis=1).T
+    # one reusable (m,) scratch buffer instead of a (chunk, m) intermediate:
+    # keeps the working set tiny so per-worker cold-start page-fault cost is
+    # negligible and the allocator reuses the same pages every permutation
+    tmp = np.empty(m, dtype=np.uint64)
+    for p in range(n_perms):
+        # (a*h + b) wraps mod 2**64, then mod prime — same order of
+        # operations as the reference's 64-bit GPU path
+        np.multiply(h, a[p], out=tmp)
+        np.add(tmp, b[p], out=tmp)
+        np.mod(tmp, prime, out=tmp)
+        sig[:, p] = np.minimum.reduceat(tmp, doc_starts)
     return sig.astype(out_dtype)

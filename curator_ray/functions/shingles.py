@@ -16,11 +16,13 @@ import pyarrow as pa
 
 
 def _string_array_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy (data_bytes, offsets) from a pyarrow string array."""
+    """Zero-copy (data_bytes, offsets) from a pyarrow string/binary array."""
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if pa.types.is_large_string(arr.type):
         arr = arr.cast(pa.string())
-    if not pa.types.is_string(arr.type):
+    elif pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.binary())
+    if not (pa.types.is_string(arr.type) or pa.types.is_binary(arr.type)):
         arr = arr.cast(pa.string())
     buffers = arr.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int32, count=len(arr) + arr.offset + 1)[arr.offset :]

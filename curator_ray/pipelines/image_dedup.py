@@ -1,0 +1,172 @@
+"""Flagship workflow: full image+caption near-duplicate removal.
+
+Ray-Data-native counterpart of the reference's three-pipeline image dedup
+flow (``tutorials/image/getting-started/image_dedup_example.py:33-120`` —
+embed -> semantic workflow -> removal) and the fuzzy text workflow
+(``fuzzy/workflow.py:292-394``), folded into ONE Lance/parquet-backed
+dataset flow:
+
+1. signatures: read ONLY (image_id, caption, phash) — pixels never enter the
+   wide stages — assign deterministic ids;
+2. candidate edges from three signal families, each checkpointed:
+   - fuzzy caption MinHash->LSH (per-band-wave partitions),
+   - SimHash over the pHash column (identical bytes => identical pHash =>
+     Hamming 0, so exact image dups are covered),
+   - exact-substring caption fingerprints (optional);
+3. shared connected components -> duplicate clusters -> removal ids
+   (sorted parquet);
+4. removal: re-read the full table (with bytes), broadcast anti-join, write
+   surviving rows as partitioned parquet — bytes pass through untouched, so
+   the decoded-pixel invariant holds trivially (PSNR = inf).
+
+Every stage records (stage, partition, fingerprint, counters) in a
+CheckpointManifest; a rerun skips completed entries mid-workflow.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..config import FuzzyDedupConfig, SimHashConfig
+from ..stages.cc import connected_components, removal_ids
+from ..stages.ids import with_ids
+from ..stages.lsh import lsh_candidate_edges
+from ..stages.minhash import minhash_stage
+from ..stages.removal import remove_by_ids
+from ..stages.simhash import simhash_candidate_edges
+from ..stages.substring import substring_candidate_edges
+from ..state.manifest import CheckpointManifest, fingerprint
+
+EDGES_EMPTY = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+
+
+def _checkpointed(manifest: CheckpointManifest | None, stage: str, part: str, fp: str, out_dir: str, build):
+    """Run ``build() -> Dataset`` and persist to ``out_dir`` unless the
+    manifest already records this (stage, partition, fingerprint)."""
+    import ray
+
+    if manifest is not None and manifest.is_complete(stage, part, fp):
+        return ray.data.read_parquet(out_dir)
+    ds = build()
+    # an interrupted previous attempt may have left partial files: the
+    # manifest record (written after the write) is the commit point, so a
+    # rebuild always starts from an empty stage directory
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    out = ray.data.read_parquet(out_dir)
+    if manifest is not None:
+        manifest.record(stage, part, fp)
+    return out
+
+
+def image_dedup_workflow(
+    input_path: str,
+    output_path: str,
+    fuzzy: FuzzyDedupConfig | None = None,
+    simhash: SimHashConfig | None = None,
+    use_substring: bool = True,
+    substring_min_length: int = 50,
+    cache_dir: str | None = None,
+    write_survivors: bool = True,
+) -> dict:
+    """Run the full dedup; returns counters (rows, duplicates, survivors)."""
+    import ray
+
+    fuzzy = fuzzy or FuzzyDedupConfig(char_ngrams=12)
+    simhash = simhash or SimHashConfig()
+    cache_dir = cache_dir or os.path.join(output_path, "_cache")
+    manifest = CheckpointManifest(os.path.join(output_path, "_checkpoints"))
+
+    sig_cols = ["image_id", "caption", "phash"]
+    sigs = with_ids(ray.data.read_parquet(input_path, columns=sig_cols), key_field="image_id")
+
+    # -- minhash cache (consumed twice by LSH) ------------------------------
+    mh_fp = fingerprint(input_path, fuzzy)
+    mh_dir = os.path.join(cache_dir, "minhash")
+    sig_ds = _checkpointed(
+        manifest,
+        "minhash",
+        "all",
+        mh_fp,
+        mh_dir,
+        lambda: minhash_stage(sigs, fuzzy, keep_fields=(fuzzy.id_field,)),
+    )
+
+    # -- candidate edges, one checkpoint partition per source/wave ----------
+    edge_sets = []
+    step = max(1, fuzzy.bands_per_iteration)
+    for start in range(0, fuzzy.num_bands, step):
+        rng = range(start, min(start + step, fuzzy.num_bands))
+        part = f"bands_{rng.start}_{rng.stop}"
+        edge_sets.append(
+            _checkpointed(
+                manifest,
+                "lsh_edges",
+                part,
+                fingerprint(mh_fp, tuple(rng)),
+                os.path.join(cache_dir, "edges", part),
+                lambda rng=rng: lsh_candidate_edges(sig_ds, fuzzy, band_range=rng),
+            )
+        )
+    edge_sets.append(
+        _checkpointed(
+            manifest,
+            "simhash_edges",
+            "all",
+            fingerprint(input_path, simhash),
+            os.path.join(cache_dir, "edges", "simhash"),
+            lambda: simhash_candidate_edges(sigs, simhash),
+        )
+    )
+    if use_substring:
+        edge_sets.append(
+            _checkpointed(
+                manifest,
+                "substring_edges",
+                "all",
+                fingerprint(input_path, substring_min_length),
+                os.path.join(cache_dir, "edges", "substring"),
+                lambda: substring_candidate_edges(sigs, min_match_length=substring_min_length),
+            )
+        )
+
+    edges = edge_sets[0]
+    for e in edge_sets[1:]:
+        edges = edges.union(e)
+
+    # -- connected components + removal ids ---------------------------------
+    rm_fp = fingerprint(mh_fp, input_path, simhash, use_substring, substring_min_length)
+    rm_dir = os.path.join(output_path, "duplicate_ids")
+
+    def _build_removal():
+        labels = connected_components(edges, fuzzy)
+        return removal_ids(labels)
+
+    removal = _checkpointed(manifest, "removal_ids", "all", rm_fp, rm_dir, _build_removal)
+    n_dups = removal.count()
+
+    counters = {"num_duplicates": n_dups}
+    # -- anti-join + survivor write -----------------------------------------
+    if write_survivors:
+        surv_dir = os.path.join(output_path, "survivors")
+        full = with_ids(ray.data.read_parquet(input_path), key_field="image_id")
+        surv_fp = fingerprint(rm_fp, "survivors")
+        if not manifest.is_complete("survivors", "all", surv_fp):
+            import shutil
+
+            survivors = remove_by_ids(full, removal, id_field=fuzzy.id_field)
+            shutil.rmtree(surv_dir, ignore_errors=True)
+            os.makedirs(surv_dir, exist_ok=True)
+            survivors.drop_columns([fuzzy.id_field]).write_parquet(surv_dir)
+            import ray as _ray
+
+            n_surv = _ray.data.read_parquet(surv_dir).count()
+            manifest.record("survivors", "all", surv_fp, counters={"survivors": n_surv})
+        counters["survivors"] = manifest.counters().get("survivors", 0)
+    counters.update(manifest.counters())
+    return counters

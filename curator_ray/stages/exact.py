@@ -29,7 +29,7 @@ def content_hash128(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.nda
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count:
-        arr = arr.fill_null("")
+        arr = arr.fill_null(b"" if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) else "")
     data, offsets = _string_array_buffers(arr)
     lengths = offsets[1:] - offsets[:-1]
     m = len(lengths)

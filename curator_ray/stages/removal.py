@@ -63,7 +63,9 @@ def remove_by_ids(ds, removal_ids_ds, id_field: str = "_id", concurrency: int | 
         fn_constructor_args=(ref, id_field),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or 4,
+        # elastic pool: a fixed min equal to the cluster size starves the other
+        # operators of CPUs (observed on a 4-cpu cluster)
+        concurrency=(1, concurrency or 8),
     )
 
 

@@ -1,0 +1,159 @@
+"""Semantic deduplication: k-means over embeddings + per-cluster pairwise.
+
+Reference: ``nemo_curator/stages/deduplication/semantic/`` — distributed RAFT
+k-means (``kmeans.py:48-575``), per-cluster batched pairwise max-cosine with a
+ranking strategy (``pairwise.py:37-322``, ``ranking.py:21-104``), then filter
+``cosine_sim_score >= 1 - eps`` (``identify_duplicates.py:28-129``).
+
+Ray-Data-native version:
+- fit: Lloyd's k-means in numpy on a bounded sample materialized to the
+  driver (``kmeans_sample_size`` rows — the reference similarly fits on
+  ``fit_data_fraction`` of files);
+- assign: stateless ``map_batches`` against the broadcast centroid matrix
+  (``ray.put`` once, read zero-copy per task);
+- pairwise: ``groupby(cluster).map_groups`` — each cluster ranked per
+  ``which_to_keep`` (hard = farthest from centroid first, matching the
+  reference's default), then row i scores max cosine against rows[0..i-1]
+  in ``pairwise_batch_size`` chunks (same O(N*B) memory bound as
+  ``pairwise.py:37-71``);
+- identify: filter score >= 1-eps, emit sorted removal ids.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import SemanticDedupConfig
+
+
+def _emb_matrix(batch: pa.Table, field: str) -> np.ndarray:
+    col = batch.column(field)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        return col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), dim).astype(np.float64)
+    offsets = col.offsets.to_numpy()
+    dim = int(offsets[1] - offsets[0]) if len(col) else 0
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), dim).astype(np.float64)
+
+
+def kmeans_fit(sample: np.ndarray, cfg: SemanticDedupConfig) -> np.ndarray:
+    """Lloyd's k-means (k-means++ seeding) -> (k, dim) centroids."""
+    rng = np.random.RandomState(cfg.seed)
+    n = len(sample)
+    k = min(cfg.n_clusters, n)
+    # k-means++ init
+    centroids = np.empty((k, sample.shape[1]), dtype=np.float64)
+    centroids[0] = sample[rng.randint(n)]
+    d2 = ((sample - centroids[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids[i] = sample[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((sample - centroids[i]) ** 2).sum(axis=1))
+    for _ in range(cfg.kmeans_max_iters):
+        # assign in chunks to bound memory
+        assign = np.empty(n, dtype=np.int64)
+        for s in range(0, n, 8192):
+            chunk = sample[s : s + 8192]
+            d = ((chunk[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign[s : s + 8192] = d.argmin(axis=1)
+        new_c = centroids.copy()
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                new_c[j] = members.mean(axis=0)
+        if np.allclose(new_c, centroids):
+            break
+        centroids = new_c
+    return centroids
+
+
+def _assign_batch(batch: pa.Table, *, centroids_ref, cfg: SemanticDedupConfig) -> pa.Table:
+    import ray
+
+    centroids = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+    emb = _emb_matrix(batch, cfg.embedding_field)
+    d = ((emb[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    l2 = np.sqrt(d[np.arange(len(emb)), assign])
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    cos = 1.0 - (en * cn[assign]).sum(axis=1)
+    return batch.append_column("centroid_id", pa.array(assign, pa.int64())).append_column(
+        "l2_dist_to_cent", pa.array(l2, pa.float64())
+    ).append_column("cosine_dist_to_cent", pa.array(cos, pa.float64()))
+
+
+def kmeans_assign(ds, centroids: np.ndarray, cfg: SemanticDedupConfig):
+    import ray
+
+    ref = ray.put(centroids)
+    return ds.map_batches(
+        functools.partial(_assign_batch, centroids_ref=ref, cfg=cfg),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _pairwise_group(group: pa.Table, *, cfg: SemanticDedupConfig) -> pa.Table:
+    ids = group.column(cfg.id_field).to_numpy()
+    emb = _emb_matrix(group, cfg.embedding_field)
+    n = len(ids)
+    if n == 0:
+        return pa.table({"id": pa.array([], pa.int64()), "cosine_sim_score": pa.array([], pa.float64())})
+    dist = group.column("cosine_dist_to_cent").to_numpy()
+    if cfg.which_to_keep == "hard":
+        order = np.lexsort((ids, -dist))  # farthest from centroid ranked first
+    elif cfg.which_to_keep == "easy":
+        order = np.lexsort((ids, dist))
+    else:
+        order = np.random.RandomState(cfg.seed).permutation(n)
+    emb = emb[order]
+    ids = ids[order]
+    en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    scores = np.zeros(n, dtype=np.float64)
+    B = cfg.pairwise_batch_size
+    for s in range(1, n, B):
+        e = min(n, s + B)
+        m = e - s
+        # max cosine of rows[s:e] against all strictly-earlier rows (O(N*B) memory)
+        sims = en[s:e] @ en[:e].T
+        prev_max = sims[:, :s].max(axis=1)
+        tri = sims[:, s:e].copy()
+        tri[np.arange(m)[None, :] >= np.arange(m)[:, None]] = -np.inf
+        scores[s:e] = np.maximum(prev_max, tri.max(axis=1, initial=-np.inf))
+    return pa.table({"id": pa.array(ids, pa.int64()), "cosine_sim_score": pa.array(scores, pa.float64())})
+
+
+def semantic_duplicate_ids(ds, cfg: SemanticDedupConfig):
+    """Dataset with (id_field, embedding_field) -> sorted removal-id Dataset.
+
+    Also returns the scored Dataset for inspection: (removal, scored).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    sample_ds = ds.limit(cfg.kmeans_sample_size)
+    parts = [
+        _emb_matrix(pa.table(b), cfg.embedding_field)
+        for b in sample_ds.iter_batches(batch_format="pyarrow")
+    ]
+    sample = np.concatenate([p for p in parts if len(p)]) if parts else np.zeros((0, 1))
+    centroids = kmeans_fit(sample, cfg)
+
+    assigned = kmeans_assign(ds, centroids, cfg)
+    scored = assigned.groupby("centroid_id").map_groups(
+        functools.partial(_pairwise_group, cfg=cfg), batch_format="pyarrow"
+    )
+    removal = scored.map_batches(
+        lambda b: pa.table(
+            {"_id": b.column("id").filter(pc.greater_equal(b.column("cosine_sim_score"), 1.0 - cfg.eps))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("_id")
+    return removal, scored

@@ -1,0 +1,269 @@
+"""Text analysis & curation operators: scores, filters, modifiers.
+
+Ray-Data-native counterparts of the reference's Score/Filter/ScoreFilter
+stages and heuristic DocumentFilters
+(``stages/text/filters/score_filter.py:29-330``,
+``filters/heuristic/string.py:40-470``) plus graft-required text-analysis ops
+(language-ID heuristic, quality scoring, token counting, fingerprinting).
+
+Everything is a ``map_batches(fn, batch_format="pyarrow")`` over vectorized
+pyarrow.compute / numpy kernels — no per-row Python in hot paths except where
+a kernel genuinely doesn't exist (fingerprints, which loop docs but vectorize
+within each doc).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.winnow import doc_fingerprints
+
+# ----------------------------------------------------------------- scorers
+
+_WORD_SPLIT = r"\s+"
+# BPE-ish token pattern: words, numbers, or single non-space symbols
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = (
+    "the of and to in a is that it was for on are as with his they at be this "
+    "have from or had by not but what all were when we there can an your which"
+).split()
+
+
+def _texts(batch: pa.Table, field: str) -> pa.ChunkedArray:
+    col = batch.column(field)
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def word_count(arr) -> pa.Array:
+    """Number of whitespace-separated words (0 for empty/blank strings)."""
+    trimmed = pc.utf8_trim_whitespace(arr)
+    splits = pc.split_pattern_regex(trimmed, _WORD_SPLIT)
+    n = pc.list_value_length(splits)
+    empty = pc.equal(pc.utf8_length(trimmed), 0)
+    return pc.if_else(empty, pa.scalar(0, pa.int32()), n)
+
+
+def token_count(arr) -> pa.Array:
+    """BPE-ish token count (letter runs, digit runs, single symbols)."""
+    return pc.count_substring_regex(arr, _TOKEN_RE)
+
+
+def char_count(arr) -> pa.Array:
+    return pc.utf8_length(arr)
+
+
+def _ratio(num, den) -> pa.Array:
+    num = pc.cast(num, pa.float64())
+    den = pc.cast(den, pa.float64())
+    return pc.if_else(pc.greater(den, 0.0), pc.divide(num, pc.max_element_wise(den, 1.0)), pa.scalar(0.0))
+
+
+def non_alpha_numeric_ratio(arr) -> pa.Array:
+    """Fraction of characters that are not alphanumeric
+    (reference NonAlphaNumericFilter, heuristic/string.py:40-60)."""
+    total = pc.utf8_length(arr)
+    alnum = pc.count_substring_regex(arr, r"[a-zA-Z0-9]")
+    return _ratio(pc.subtract(total, alnum), total)
+
+
+def symbols_to_words_ratio(arr) -> pa.Array:
+    syms = pc.count_substring_regex(arr, r"[#\$%&\*\+\-/<=>@\^_\|~]|\.{3}")
+    return _ratio(syms, word_count(arr))
+
+
+def numbers_ratio(arr) -> pa.Array:
+    digits = pc.count_substring_regex(arr, r"[0-9]")
+    return _ratio(digits, pc.utf8_length(arr))
+
+
+def url_count(arr) -> pa.Array:
+    return pc.count_substring_regex(arr, r"https?://|www\.")
+
+
+def whitespace_ratio(arr) -> pa.Array:
+    ws = pc.count_substring_regex(arr, r"\s")
+    return _ratio(ws, pc.utf8_length(arr))
+
+
+def punctuation_ratio(arr) -> pa.Array:
+    p = pc.count_substring_regex(arr, r"[.!?]")
+    return _ratio(p, word_count(arr))
+
+
+def ellipsis_ratio(arr) -> pa.Array:
+    e = pc.count_substring_regex(arr, r"\.\.\.|…")
+    return _ratio(e, word_count(arr))
+
+
+def mean_word_length(arr) -> pa.Array:
+    letters = pc.count_substring_regex(arr, r"\S")
+    return _ratio(letters, word_count(arr))
+
+
+def stopword_ratio(arr) -> pa.Array:
+    """Fraction of words that are common English stopwords
+    (reference CommonEnglishWordsFilter analog)."""
+    pattern = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+    hits = pc.count_substring_regex(arr, pattern)
+    return _ratio(hits, word_count(arr))
+
+
+def quality_score(arr) -> pa.Array:
+    """Composite [0,1] quality heuristic: penalize extreme length, symbol
+    soup, missing stopwords, whitespace floods."""
+    wc = pc.cast(word_count(arr), pa.float64())
+    length_ok = pc.and_(pc.greater_equal(wc, 5.0), pc.less_equal(wc, 5000.0))
+    s1 = pc.if_else(length_ok, pa.scalar(0.25), pa.scalar(0.0))
+    s2 = pc.if_else(pc.less(non_alpha_numeric_ratio(arr), 0.3), pa.scalar(0.25), pa.scalar(0.0))
+    s3 = pc.if_else(pc.greater(stopword_ratio(arr), 0.05), pa.scalar(0.25), pa.scalar(0.0))
+    s4 = pc.if_else(pc.less(whitespace_ratio(arr), 0.35), pa.scalar(0.25), pa.scalar(0.0))
+    return pc.add(pc.add(s1, s2), pc.add(s3, s4))
+
+
+_LANG_MARKERS = {
+    "en": r"(?i)\b(the|and|of|to|is|that|was|with)\b",
+    "de": r"(?i)\b(der|die|das|und|ist|nicht|mit|ein)\b",
+    "fr": r"(?i)\b(le|la|les|et|est|dans|pour|que)\b",
+    "es": r"(?i)\b(el|los|las|es|en|por|para|una)\b",
+    "it": r"(?i)\b(il|gli|che|di|per|con|una|sono)\b",
+}
+
+
+def lang_id(arr) -> pa.Array:
+    """n-gram/stopword-marker language heuristic -> 2-letter code or 'xx'."""
+    wc = pc.cast(word_count(arr), pa.float64())
+    scores = []
+    langs = list(_LANG_MARKERS)
+    for lang in langs:
+        scores.append(_ratio(pc.count_substring_regex(arr, _LANG_MARKERS[lang]), wc))
+    mat = np.stack([np.asarray(s) for s in scores], axis=1)
+    best = mat.argmax(axis=1)
+    best_score = mat.max(axis=1)
+    out = np.array(langs, dtype=object)[best]
+    out[best_score < 0.05] = "xx"
+    return pa.array(out.tolist(), pa.string())
+
+
+# ------------------------------------------------------------ stage wrappers
+
+
+def score_stage(ds, scorer, text_field: str, score_field: str):
+    """Reference ``Score`` stage: append a score column."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(score_field, scorer(_texts(batch, text_field)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_stage(ds, scorer, text_field: str, min_value=None, max_value=None, invert: bool = False):
+    """Reference ``Filter``/``ScoreFilter``: threshold-filter on a scorer."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = scorer(_texts(batch, text_field))
+        mask = pa.array(np.ones(len(batch), dtype=bool))
+        if min_value is not None:
+            mask = pc.and_(mask, pc.greater_equal(s, min_value))
+        if max_value is not None:
+            mask = pc.and_(mask, pc.less_equal(s, max_value))
+        if invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- modifiers
+
+
+def modify_stage(ds, modifier, text_field: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index(text_field)
+        return batch.set_column(idx, text_field, modifier(_texts(batch, text_field)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def newline_normalizer(arr) -> pa.Array:
+    """Collapse 3+ newlines to 2 (reference NewlineNormalizer)."""
+    return pc.replace_substring_regex(arr, r"\n{3,}", "\n\n")
+
+
+def url_remover(arr) -> pa.Array:
+    return pc.replace_substring_regex(arr, r"https?://\S+|www\.\S+", "")
+
+
+def unicode_whitespace_normalizer(arr) -> pa.Array:
+    return pc.utf8_trim_whitespace(pc.replace_substring_regex(arr, r"[ \t]+", " "))
+
+
+def markdown_remover(arr) -> pa.Array:
+    out = pc.replace_substring_regex(arr, r"\*\*([^*]*)\*\*", r"\1")
+    out = pc.replace_substring_regex(out, r"\*([^*]*)\*", r"\1")
+    out = pc.replace_substring_regex(out, r"_([^_]*)_", r"\1")
+    return pc.replace_substring_regex(out, r"\[([^\]]*)\]\([^)]*\)", r"\1")
+
+
+def lowercase(arr) -> pa.Array:
+    return pc.utf8_lower(arr)
+
+
+# ------------------------------------------------------------- fingerprints
+
+
+def fingerprint_stage(ds, text_field: str, fp_len: int = 16, winnow_window: int = 4, out_field: str = "fingerprint"):
+    """Rolling-hash document fingerprint (min winnowed fp as int64)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_field).to_pylist()
+        fps = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            f = doc_fingerprints(t or "", fp_len, winnow_window)
+            v = int(f.min()) if len(f) else 0
+            fps[i] = v - (1 << 64) if v >= (1 << 63) else v
+        return batch.append_column(out_field, pa.array(fps, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------- splitter / joiner
+
+
+def document_splitter(ds, text_field: str, separator: str, id_field: str = "doc_id"):
+    """Reference DocumentSplitter (modules/splitter.py:22): one row per segment."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(_texts(batch, text_field), separator)
+        lengths = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_field).to_numpy(zero_copy_only=False)
+        seg = np.concatenate([np.arange(n) for n in lengths]) if len(lengths) else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                id_field: pa.array(np.repeat(ids, lengths)),
+                "segment_id": pa.array(seg, pa.int64()),
+                text_field: splits.combine_chunks().flatten() if isinstance(splits, pa.ChunkedArray) else splits.flatten(),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def document_joiner(ds, text_field: str, separator: str, id_field: str = "doc_id"):
+    """Reference DocumentJoiner (modules/joiner.py:24): re-join segments."""
+
+    def join_group(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("segment_id").to_numpy())
+        texts = np.asarray(group.column(text_field).to_pylist(), dtype=object)[order]
+        return pa.table(
+            {
+                id_field: group.column(id_field).slice(0, 1),
+                text_field: pa.array([separator.join(texts.tolist())], pa.string()),
+            }
+        )
+
+    return ds.groupby(id_field).map_groups(join_group, batch_format="pyarrow")

@@ -1,0 +1,82 @@
+"""Checkpoint manifests: per-(stage, partition) lineage + counters for resume.
+
+The reference's opt-in resumability layer skips completed *source partitions*
+recorded in LMDB (``pipeline/pipeline.py:231-258``); the north rule requires
+finer, mid-stage resume. This engine gives every stage output a manifest
+entry keyed by (stage, partition) carrying the input fingerprint and row
+counters. A rerun skips any entry whose fingerprint matches; outputs are
+written to the entry's own directory first and the manifest record is the
+atomic commit point (write-temp + rename), so a crash mid-stage re-runs only
+the incomplete entries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+
+def fingerprint(*parts: object) -> str:
+    """Stable fingerprint of stage inputs (paths, configs, row counts...)."""
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(repr(p).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+class CheckpointManifest:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _entry_path(self, stage: str, partition: str) -> str:
+        safe = hashlib.sha256(f"{stage}::{partition}".encode()).hexdigest()[:24]
+        return os.path.join(self.path, f"{stage}.{safe}.json")
+
+    def is_complete(self, stage: str, partition: str = "all", fp: str | None = None) -> bool:
+        p = self._entry_path(stage, partition)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return False
+        return fp is None or rec.get("fingerprint") == fp
+
+    def record(
+        self, stage: str, partition: str = "all", fp: str | None = None, counters: dict | None = None
+    ) -> None:
+        rec = {
+            "stage": stage,
+            "partition": partition,
+            "fingerprint": fp,
+            "counters": counters or {},
+            "completed_at": time.time(),
+        }
+        p = self._entry_path(stage, partition)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, p)  # atomic commit point
+
+    def entries(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if name.endswith(".json"):
+                try:
+                    with open(os.path.join(self.path, name)) as f:
+                        out.append(json.load(f))
+                except (json.JSONDecodeError, OSError):
+                    continue
+        return out
+
+    def counters(self) -> dict:
+        agg: dict = {}
+        for e in self.entries():
+            for k, v in (e.get("counters") or {}).items():
+                agg[k] = agg.get(k, 0) + v
+        return agg

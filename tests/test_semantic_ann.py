@@ -1,0 +1,123 @@
+"""Semantic dedup (kmeans + pairwise) and ANN search tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from curator_ray.config import SemanticDedupConfig
+from curator_ray.stages.ann import brute_force_topk, lsh_topk
+from curator_ray.stages.semantic import kmeans_fit, semantic_duplicate_ids
+
+
+def _embedding_table(n_clusters=3, per_cluster=20, dim=8, dup_pairs=5, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(scale=5.0, size=(n_clusters, dim))
+    rows, ids = [], []
+    next_id = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            rows.append(centers[c] + rng.normal(scale=0.5, size=dim))
+            ids.append(next_id)
+            next_id += 1
+    # near-identical duplicate pairs (cosine sim ~ 1)
+    dup_of = []
+    for d in range(dup_pairs):
+        base_idx = d * per_cluster % len(rows)
+        rows.append(np.asarray(rows[base_idx]) * (1 + 1e-6))
+        ids.append(next_id)
+        dup_of.append((ids[base_idx], next_id))
+        next_id += 1
+    flat = pa.array(np.asarray(rows, dtype=np.float32).ravel(), pa.float32())
+    tbl = pa.table(
+        {
+            "_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(flat, dim),
+        }
+    )
+    return tbl, dup_of
+
+
+def test_kmeans_fit_separated_clusters():
+    rng = np.random.RandomState(1)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    pts = np.concatenate([c + rng.normal(scale=0.3, size=(50, 2)) for c in centers])
+    cfg = SemanticDedupConfig(n_clusters=3, seed=42)
+    got = kmeans_fit(pts, cfg)
+    # every true center has a fitted centroid within 0.5
+    for c in centers:
+        assert np.min(np.linalg.norm(got - c, axis=1)) < 0.5
+
+
+def test_semantic_dedup_finds_near_identical(ray_session):
+    tbl, dup_ids = _embedding_table()
+    cfg = SemanticDedupConfig(n_clusters=3, eps=0.01, kmeans_sample_size=1000)
+    removal, scored = semantic_duplicate_ids(ray.data.from_arrow(tbl), cfg)
+    removed = {r["_id"] for r in removal.take_all()}
+    # each injected duplicate pair loses at least one member
+    for base, dup in dup_ids:
+        assert {base, dup} & removed
+    assert len(removed) >= len(dup_ids)
+    # scored covers every row
+    assert scored.count() == tbl.num_rows
+
+
+def test_semantic_no_dups(ray_session):
+    rng = np.random.RandomState(3)
+    emb = rng.normal(size=(30, 6)).astype(np.float32)
+    flat = pa.array(emb.ravel(), pa.float32())
+    tbl = pa.table(
+        {"_id": pa.array(range(30), pa.int64()), "embedding": pa.FixedSizeListArray.from_arrays(flat, 6)}
+    )
+    cfg = SemanticDedupConfig(n_clusters=4, eps=0.001)
+    removal, _ = semantic_duplicate_ids(ray.data.from_arrow(tbl), cfg)
+    assert removal.count() == 0
+
+
+def _brute_oracle(emb, ids, q, k):
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ en.T
+    out = {}
+    for qi in range(len(q)):
+        order = np.lexsort((ids, -sims[qi]))[:k]
+        out[qi] = list(ids[order])
+    return out
+
+
+def test_brute_force_topk(ray_session):
+    rng = np.random.RandomState(5)
+    emb = rng.normal(size=(100, 16))
+    ids = np.arange(100, dtype=np.int64)
+    q = rng.normal(size=(3, 16))
+    flat = pa.array(emb.astype(np.float32).ravel(), pa.float32())
+    tbl = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()), "embedding": pa.FixedSizeListArray.from_arrays(flat, 16)}
+    )
+    # two blocks to exercise the merge
+    ds = ray.data.from_arrow([tbl.slice(0, 60), tbl.slice(60)])
+    res = brute_force_topk(ds, q, k=5).take_all()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    emb32 = emb.astype(np.float32).astype(np.float64)
+    oracle = _brute_oracle(emb32, ids, q, 5)
+    assert got == oracle
+
+
+def test_lsh_topk_recall(ray_session):
+    rng = np.random.RandomState(6)
+    emb = rng.normal(size=(300, 16))
+    ids = np.arange(300, dtype=np.int64)
+    q = emb[:2] + rng.normal(scale=0.01, size=(2, 16))  # queries near real rows
+    flat = pa.array(emb.astype(np.float32).ravel(), pa.float32())
+    tbl = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()), "embedding": pa.FixedSizeListArray.from_arrays(flat, 16)}
+    )
+    res = lsh_topk(ray.data.from_arrow(tbl), q, k=3, num_tables=12, num_bits=8).take_all()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    # the near-identical true neighbor must be the top hit
+    assert got[0][0] == 0
+    assert got[1][0] == 1

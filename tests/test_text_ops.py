@@ -1,0 +1,119 @@
+"""Text analysis / filter / modifier operator tests."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from curator_ray.stages.text import (
+    document_joiner,
+    document_splitter,
+    filter_stage,
+    fingerprint_stage,
+    lang_id,
+    markdown_remover,
+    mean_word_length,
+    newline_normalizer,
+    non_alpha_numeric_ratio,
+    punctuation_ratio,
+    quality_score,
+    score_stage,
+    stopword_ratio,
+    token_count,
+    url_count,
+    url_remover,
+    whitespace_ratio,
+    word_count,
+)
+
+
+def test_word_count():
+    arr = pa.array(["one two three", "  spaced   out  ", "", "single"])
+    assert word_count(arr).to_pylist() == [3, 2, 0, 1]
+
+
+def test_token_count():
+    arr = pa.array(["hello, world! 123", ""])
+    # hello , world ! 123 -> 5 tokens
+    assert token_count(arr).to_pylist() == [5, 0]
+
+
+def test_ratios():
+    arr = pa.array(["abc!!", "12345", "     "])
+    r = non_alpha_numeric_ratio(arr).to_pylist()
+    assert abs(r[0] - 2 / 5) < 1e-9
+    assert r[1] == 0.0
+    assert r[2] == 1.0
+    assert url_count(pa.array(["see https://x.com and www.y.org"])).to_pylist() == [2]
+    assert whitespace_ratio(pa.array(["a b"])).to_pylist() == [pytest.approx(1 / 3)]
+    assert punctuation_ratio(pa.array(["Hi. There!"])).to_pylist() == [pytest.approx(1.0)]
+    assert mean_word_length(pa.array(["ab cd"])).to_pylist() == [pytest.approx(2.0)]
+
+
+def test_stopword_and_quality():
+    good = "the cat sat on the mat and it was happy with all of that for sure"
+    bad = "@@@@ #### $$$$ %%%%"
+    s = stopword_ratio(pa.array([good, bad])).to_pylist()
+    assert s[0] > 0.2 and s[1] == 0.0
+    q = quality_score(pa.array([good, bad])).to_pylist()
+    assert q[0] == 1.0 and q[1] <= 0.5
+
+
+def test_lang_id():
+    arr = pa.array(
+        [
+            "the quick brown fox and the lazy dog that was here",
+            "der Hund ist nicht mit der Katze und das ist gut",
+            "le chat est dans la maison et il est content pour que",
+            "@@@@",
+        ]
+    )
+    assert lang_id(arr).to_pylist() == ["en", "de", "fr", "xx"]
+
+
+def test_modifiers():
+    assert newline_normalizer(pa.array(["a\n\n\n\nb"])).to_pylist() == ["a\n\nb"]
+    assert url_remover(pa.array(["go to https://x.com now"])).to_pylist() == ["go to  now"]
+    assert markdown_remover(pa.array(["**bold** and [link](http://x)"])).to_pylist() == ["bold and link"]
+
+
+def test_score_filter_stages(ray_session):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["one two three four five", "tiny", "a b c d e f g"]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    scored = score_stage(ds, word_count, "text", "n_words").take_all()
+    assert [r["n_words"] for r in scored] == [5, 1, 7]
+    kept = filter_stage(ds, word_count, "text", min_value=5).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
+    inv = filter_stage(ds, word_count, "text", min_value=5, invert=True).take_all()
+    assert [r["doc_id"] for r in inv] == [2]
+
+
+def test_fingerprint_deterministic(ray_session):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["some shared long content here", "some shared long content here", "else"]),
+        }
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprint_stage(ray.data.from_arrow(tbl), "text").take_all()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_splitter_joiner_roundtrip(ray_session):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a|b|c", "xyz"]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    split = document_splitter(ds, "text", "|")
+    rows = sorted(split.take_all(), key=lambda r: (r["doc_id"], r["segment_id"]))
+    assert [r["text"] for r in rows] == ["a", "b", "c", "xyz"]
+    joined = {r["doc_id"]: r["text"] for r in document_joiner(split, "text", "|").take_all()}
+    assert joined == {1: "a|b|c", 2: "xyz"}
