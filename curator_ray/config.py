@@ -24,6 +24,11 @@ class FuzzyDedupConfig:
     # scale knobs
     bands_per_iteration: int = 20  # process all bands in one pass by default
     max_bucket_block_rows: int = 1 << 20
+    # global bucket-resolution strategy: "broadcast" = vectorized aggregate +
+    # broadcast lookup of duplicated buckets (no per-group Python; right when
+    # cross-block dup buckets fit in memory), "groupby" = map_groups fallback
+    global_bucket_mode: str = "broadcast"
+    max_broadcast_buckets: int = 20_000_000
     cc_driver_fallback_edges: int = 2_000_000  # below this, union-find on the driver
     cc_max_iterations: int = 25
     cc_num_partitions: int = 64

@@ -78,3 +78,71 @@ def doc_fingerprints(text: str, fp_len: int, winnow_window: int = 8) -> np.ndarr
     if len(h) == 0:
         return np.zeros(0, dtype=np.uint64)
     return h[winnow(h, winnow_window)]
+
+
+def batch_fingerprints(texts, fp_len: int, winnow_window: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowed fingerprints for a whole batch of strings in one vectorized
+    pass -> (fps: uint64, doc_idx: int64), selection-identical to calling
+    ``doc_fingerprints`` per document.
+
+    One rolling-hash prefix scan over the concatenated buffer (the window hash
+    formula depends only on window content, so a single global scan is valid),
+    then per-document winnowing via a global sliding-window minimum restricted
+    to windows that lie inside one document.
+    """
+    import pyarrow as pa
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from .shingles import _string_array_buffers
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(["" if t is None else t for t in texts], pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if texts.null_count:
+        texts = texts.fill_null("")
+    data, offsets = _string_array_buffers(texts)
+    n_docs = len(offsets) - 1
+    total = int(offsets[-1] - offsets[0])
+    if n_docs == 0 or total == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    base = offsets[0]
+    buf = data[base : offsets[-1]]
+    L, w = fp_len, winnow_window
+
+    # global window hashes over the concatenated buffer
+    H = window_hashes(buf, L)
+    if len(H) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+
+    starts = (offsets[:-1] - base).astype(np.int64)
+    ends = (offsets[1:] - base).astype(np.int64)
+    # doc d's window-hash positions: [starts[d], ends[d] - L]  (inclusive)
+    seg_lo = starts
+    seg_hi = np.minimum(ends - L + 1, len(H))  # exclusive
+    seg_len = np.maximum(seg_hi - seg_lo, 0)
+
+    selected = []
+    long_mask = seg_len > w
+    # --- segments longer than the winnow window: global sliding minima -----
+    if long_mask.any() and len(H) >= w:
+        win = sliding_window_view(H, w)
+        rev_arg = np.argmin(win[:, ::-1], axis=1)
+        pos_rightmost = (w - 1 - rev_arg) + np.arange(len(win))
+        # keep only windows fully inside a single doc segment
+        widx = np.arange(len(win))
+        doc_of = np.searchsorted(seg_lo, widx, side="right") - 1
+        doc_of = np.clip(doc_of, 0, n_docs - 1)
+        inside = long_mask[doc_of] & (widx >= seg_lo[doc_of]) & (widx + w <= seg_hi[doc_of])
+        selected.append(pos_rightmost[inside])
+    # --- short segments (1..w hashes): leftmost argmin, like winnow() ------
+    short_mask = (seg_len > 0) & ~long_mask
+    if short_mask.any():
+        for d in np.flatnonzero(short_mask):
+            seg = H[seg_lo[d] : seg_hi[d]]
+            selected.append(np.array([seg_lo[d] + int(np.argmin(seg))], dtype=np.int64))
+    if not selected:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    pos = np.unique(np.concatenate(selected))
+    doc_idx = np.searchsorted(seg_lo, pos, side="right") - 1
+    return H[pos], doc_idx.astype(np.int64)

@@ -73,12 +73,24 @@ def image_dedup_workflow(
     substring_min_length: int = 50,
     cache_dir: str | None = None,
     write_survivors: bool = True,
+    checkpoint: bool = True,
 ) -> dict:
-    """Run the full dedup; returns counters (rows, duplicates, survivors)."""
+    """Run the full dedup; returns counters (rows, duplicates, survivors).
+
+    ``checkpoint=False`` runs the streaming path: no per-stage parquet
+    materialization or manifests — signatures live in the object store and
+    all edge sources union lazily into one connected-components pass. Use it
+    when resumability isn't needed (benchmarks, small jobs); the default
+    checkpointed path is the ops-grade flow.
+    """
     import ray
 
     fuzzy = fuzzy or FuzzyDedupConfig(char_ngrams=12)
     simhash = simhash or SimHashConfig()
+    if not checkpoint:
+        return _streaming_workflow(
+            input_path, output_path, fuzzy, simhash, use_substring, substring_min_length, write_survivors
+        )
     cache_dir = cache_dir or os.path.join(output_path, "_cache")
     manifest = CheckpointManifest(os.path.join(output_path, "_checkpoints"))
 
@@ -169,4 +181,46 @@ def image_dedup_workflow(
             manifest.record("survivors", "all", surv_fp, counters={"survivors": n_surv})
         counters["survivors"] = manifest.counters().get("survivors", 0)
     counters.update(manifest.counters())
+    return counters
+
+
+def _streaming_workflow(
+    input_path: str,
+    output_path: str,
+    fuzzy: FuzzyDedupConfig,
+    simhash: SimHashConfig,
+    use_substring: bool,
+    substring_min_length: int,
+    write_survivors: bool,
+) -> dict:
+    """Checkpoint-free path: one object-store materialization of the
+    signature projection, lazily-unioned edge sources, one CC pass."""
+    import ray
+
+    from ..stages.substring import substring_candidate_edges
+
+    sig_cols = ["image_id", "caption", "phash"]
+    sigs = with_ids(ray.data.read_parquet(input_path, columns=sig_cols), key_field="image_id")
+    mh = minhash_stage(sigs, fuzzy, keep_fields=(fuzzy.id_field,)).materialize()
+
+    edges = lsh_candidate_edges(mh, fuzzy)
+    sigs_mat = sigs.materialize() if use_substring else sigs
+    edges = edges.union(simhash_candidate_edges(sigs_mat, simhash))
+    if use_substring:
+        edges = edges.union(substring_candidate_edges(sigs_mat, min_match_length=substring_min_length))
+
+    labels = connected_components(edges, fuzzy)
+    removal = removal_ids(labels)
+    counters = {"num_duplicates": removal.count()}
+    if write_survivors:
+        surv_dir = os.path.join(output_path, "survivors")
+        import shutil
+
+        from ..stages.removal import remove_by_ids
+
+        shutil.rmtree(surv_dir, ignore_errors=True)
+        os.makedirs(surv_dir, exist_ok=True)
+        full = with_ids(ray.data.read_parquet(input_path), key_field="image_id")
+        remove_by_ids(full, removal, id_field=fuzzy.id_field).drop_columns([fuzzy.id_field]).write_parquet(surv_dir)
+        counters["survivors"] = ray.data.read_parquet(surv_dir).count()
     return counters

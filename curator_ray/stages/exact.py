@@ -69,10 +69,12 @@ def _local_exact(batch: pa.Table, *, text_field: str, id_field: str, emit: str) 
         keep_first[run_starts] = True
         return pa.table({"_id": pa.array(sid[~keep_first], pa.int64())})
     sizes = np.diff(np.append(run_starts, len(order)))
+    # int64 views of the 128-bit hash: Ray aggregates pickle uint64 columns
+    # whose values exceed the int64 range
     return pa.table(
         {
-            "hash_hi": pa.array(shi[run_starts], pa.uint64()),
-            "hash_lo": pa.array(slo[run_starts], pa.uint64()),
+            "hash_hi": pa.array(shi[run_starts].view(np.int64), pa.int64()),
+            "hash_lo": pa.array(slo[run_starts].view(np.int64), pa.int64()),
             "rep": pa.array(sid[run_starts], pa.int64()),
             "cnt": pa.array(sizes.astype(np.int64), pa.int64()),
         }
@@ -84,10 +86,43 @@ def _global_keep_first(group: pa.Table) -> pa.Table:
     return pa.table({"_id": pa.array(reps[1:], pa.int64())})
 
 
-def exact_duplicate_ids(ds, text_field: str = "caption", id_field: str = "_id"):
+class _BroadcastRemovalEmitter:
+    """map_batches actor: a representative whose content hash is in the
+    broadcast duplicated-hash table and is not the global min id is a removal."""
+
+    def __init__(self, packed_ref):
+        import ray
+
+        self.keys, self.vals = ray.get(packed_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.packkeys import lookup_sorted, pack_u128
+
+        hi = batch.column("hash_hi").to_numpy().view(np.uint64)
+        lo = batch.column("hash_lo").to_numpy().view(np.uint64)
+        rep = batch.column("rep").to_numpy()
+        found, minrep = lookup_sorted(self.keys, self.vals, pack_u128(hi, lo))
+        mask = found & (rep != minrep)
+        return pa.table({"_id": pa.array(rep[mask], pa.int64())})
+
+
+def exact_duplicate_ids(
+    ds,
+    text_field: str = "caption",
+    id_field: str = "_id",
+    global_mode: str = "broadcast",
+    max_broadcast: int = 20_000_000,
+):
     """Dataset -> sorted Dataset[(_id,)] of rows to remove (keep min id per
     identical-text group). ``ds`` is consumed twice — materialize or point at
-    a parquet source."""
+    a parquet source.
+
+    ``global_mode="broadcast"`` resolves cross-block duplicate groups with a
+    vectorized ``groupby.aggregate(Count, Min)`` + broadcast lookup (no
+    per-group Python — hashes are overwhelmingly singletons);
+    ``"groupby"`` is the map_groups fallback for corpora whose cross-block
+    duplicated-hash table would not fit in memory.
+    """
     local_removals = ds.map_batches(
         functools.partial(_local_exact, text_field=text_field, id_field=id_field, emit="removals"),
         batch_format="pyarrow",
@@ -98,7 +133,29 @@ def exact_duplicate_ids(ds, text_field: str = "caption", id_field: str = "_id"):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    global_removals = reps.groupby(["hash_hi", "hash_lo"]).map_groups(
-        _global_keep_first, batch_format="pyarrow"
-    )
+    if global_mode == "broadcast":
+        import ray
+
+        from ..functions.packkeys import pack_u128
+        from .sortagg import dup_bucket_table
+
+        dup = dup_bucket_table(reps, ["hash_hi", "hash_lo"], max_rows=max_broadcast)
+        packed = pack_u128(
+            dup.column("hash_hi").to_numpy().view(np.uint64),
+            dup.column("hash_lo").to_numpy().view(np.uint64),
+        )
+        minrep = dup.column("min_rep").to_numpy().astype(np.int64)
+        order = np.argsort(packed)
+        ref = ray.put((packed[order], minrep[order]))
+        global_removals = reps.map_batches(
+            _BroadcastRemovalEmitter,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+    else:
+        global_removals = reps.groupby(["hash_hi", "hash_lo"]).map_groups(
+            _global_keep_first, batch_format="pyarrow"
+        )
     return local_removals.union(global_removals).sort("_id")

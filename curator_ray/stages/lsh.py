@@ -86,8 +86,8 @@ def _local_bands_batch(
             return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
         return pa.table(
             {
-                "bucket_hi": pa.array([], pa.uint64()),
-                "bucket_lo": pa.array([], pa.uint64()),
+                "bucket_hi": pa.array([], pa.int64()),
+                "bucket_lo": pa.array([], pa.int64()),
                 "rep": pa.array([], pa.int64()),
                 "cnt": pa.array([], pa.int64()),
             }
@@ -112,10 +112,12 @@ def _local_bands_batch(
             {"src": pa.array(member_src[mask], pa.int64()), "dst": pa.array(sid[mask], pa.int64())}
         )
 
+    # bucket keys as bit-identical int64 views: Ray's groupby aggregate
+    # pickles uint64 columns whose values exceed the int64 range
     return pa.table(
         {
-            "bucket_hi": pa.array(flat_hi[order][run_starts], pa.uint64()),
-            "bucket_lo": pa.array(flat_lo[order][run_starts], pa.uint64()),
+            "bucket_hi": pa.array(flat_hi[order][run_starts].view(np.int64), pa.int64()),
+            "bucket_lo": pa.array(flat_lo[order][run_starts].view(np.int64), pa.int64()),
             "rep": pa.array(run_min, pa.int64()),
             "cnt": pa.array(sizes.astype(np.int64), pa.int64()),
         }
@@ -134,6 +136,92 @@ def _global_star(group: pa.Table) -> pa.Table:
         return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
     m = uniq[0]
     return pa.table({"src": pa.array(np.full(len(uniq) - 1, m), pa.int64()), "dst": pa.array(uniq[1:], pa.int64())})
+
+
+def _collect_dup_buckets(agg, max_rows: int) -> "pa.Table":
+    """Driver-collect the (bucket -> min rep) table of buckets represented in
+    >= 2 blocks, guarding against oversized broadcasts."""
+    import pyarrow.compute as pc
+
+    parts = []
+    total = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        t = t.filter(pc.greater_equal(t.column("count()"), 2))
+        total += t.num_rows
+        if total > max_rows:
+            raise RuntimeError(
+                f"duplicated-bucket table exceeds {max_rows} rows; "
+                "use global_bucket_mode='groupby' for this dataset"
+            )
+        parts.append(t)
+    if not parts:
+        return pa.table(
+            {
+                "bucket_hi": pa.array([], pa.int64()),
+                "bucket_lo": pa.array([], pa.int64()),
+                "count()": pa.array([], pa.int64()),
+                "min(rep)": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
+class _BroadcastStarEmitter:
+    """map_batches actor: emits (bucket_min_rep -> rep) star edges for reps
+    whose bucket is in the broadcast duplicated-bucket table."""
+
+    def __init__(self, packed_ref):
+        import ray
+
+        keys, vals = ray.get(packed_ref) if not isinstance(packed_ref, tuple) else packed_ref
+        self.keys, self.vals = keys, vals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.packkeys import lookup_sorted, pack_u128
+
+        hi = batch.column("bucket_hi").to_numpy().view(np.uint64)
+        lo = batch.column("bucket_lo").to_numpy().view(np.uint64)
+        rep = batch.column("rep").to_numpy()
+        probe = pack_u128(hi, lo)
+        found, minrep = lookup_sorted(self.keys, self.vals, probe)
+        mask = found & (rep != minrep)
+        return pa.table(
+            {"src": pa.array(minrep[mask], pa.int64()), "dst": pa.array(rep[mask], pa.int64())}
+        )
+
+
+def _global_star_broadcast(reps, cfg: FuzzyDedupConfig):
+    """Scalable global stage: native vectorized aggregate (no per-group Python)
+    + broadcast (bucket -> min rep) lookup.
+
+    The reference's LSH shuffles ALL (doc, bucket) rows and groups them
+    (``lsh.py:189-256``); at 10^12 rows almost every bucket is a singleton, so
+    per-bucket UDF calls dominate (measured: ~20M tiny groups for a 1M-row
+    corpus). Instead: ``groupby.aggregate(Count, Min)`` — fully vectorized —
+    then only buckets represented in >= 2 blocks (a tiny fraction) are
+    broadcast as a sorted 128-bit-key table, and a second stateless pass over
+    the representatives emits star edges via binary-search lookup.
+    """
+    import ray
+
+    from ..functions.packkeys import pack_u128
+    from .sortagg import dup_bucket_table
+
+    dup = dup_bucket_table(reps, ["bucket_hi", "bucket_lo"], max_rows=cfg.max_broadcast_buckets)
+    hi = dup.column("bucket_hi").to_numpy().view(np.uint64)
+    lo = dup.column("bucket_lo").to_numpy().view(np.uint64)
+    minrep = dup.column("min_rep").to_numpy().astype(np.int64)
+    packed = pack_u128(hi, lo)
+    order = np.argsort(packed)
+    ref = ray.put((packed[order], minrep[order]))
+    return reps.map_batches(
+        _BroadcastStarEmitter,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
 
 
 def lsh_candidate_edges(ds_sig, cfg: FuzzyDedupConfig, band_range: range | None = None):
@@ -155,9 +243,12 @@ def lsh_candidate_edges(ds_sig, cfg: FuzzyDedupConfig, band_range: range | None 
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    global_edges = reps.groupby(["bucket_hi", "bucket_lo"]).map_groups(
-        _global_star, batch_format="pyarrow"
-    )
+    if cfg.global_bucket_mode == "broadcast":
+        global_edges = _global_star_broadcast(reps, cfg)
+    else:
+        global_edges = reps.groupby(["bucket_hi", "bucket_lo"]).map_groups(
+            _global_star, batch_format="pyarrow"
+        )
     return local.union(global_edges)
 
 

@@ -54,12 +54,14 @@ def kmeans_fit(sample: np.ndarray, cfg: SemanticDedupConfig) -> np.ndarray:
         probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
         centroids[i] = sample[rng.choice(n, p=probs)]
         d2 = np.minimum(d2, ((sample - centroids[i]) ** 2).sum(axis=1))
+    c2 = None
     for _ in range(cfg.kmeans_max_iters):
-        # assign in chunks to bound memory
+        # assign in chunks to bound memory (matmul form, no (n, k, dim) tensor)
         assign = np.empty(n, dtype=np.int64)
+        c2 = (centroids * centroids).sum(axis=1)
         for s in range(0, n, 8192):
             chunk = sample[s : s + 8192]
-            d = ((chunk[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            d = (chunk * chunk).sum(axis=1, keepdims=True) + c2[None, :] - 2.0 * (chunk @ centroids.T)
             assign[s : s + 8192] = d.argmin(axis=1)
         new_c = centroids.copy()
         for j in range(k):
@@ -77,7 +79,15 @@ def _assign_batch(batch: pa.Table, *, centroids_ref, cfg: SemanticDedupConfig) -
 
     centroids = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
     emb = _emb_matrix(batch, cfg.embedding_field)
-    d = ((emb[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    # |a-b|^2 = |a|^2 + |b|^2 - 2ab via matmul: the (n, k) matrix is the only
+    # intermediate (a broadcast (n, k, dim) difference tensor would be ~dim x
+    # larger and blow worker heaps at batch size x 1000 clusters)
+    d = (
+        (emb * emb).sum(axis=1, keepdims=True)
+        + (centroids * centroids).sum(axis=1)[None, :]
+        - 2.0 * (emb @ centroids.T)
+    )
+    np.maximum(d, 0.0, out=d)
     assign = d.argmin(axis=1)
     l2 = np.sqrt(d[np.arange(len(emb)), assign])
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)

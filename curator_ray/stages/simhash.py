@@ -95,30 +95,39 @@ def _local_simhash(batch: pa.Table, *, cfg: SimHashConfig, emit: str) -> pa.Tabl
     uph = sph[run_starts]
     uid = run_min
     for band_id, keys in _band_keys(uph, cfg):
+        if emit == "reps":
+            # every (band, distinct-pHash) row IS a representative — no
+            # grouping needed, emit the whole band column vectorized
+            rep_band.append(np.full(len(keys), band_id, np.int32))
+            rep_key.append(keys)
+            rep_ph.append(uph)
+            rep_id.append(uid)
+            continue
         korder = np.argsort(keys, kind="stable")
         kk, kph, kid = keys[korder], uph[korder], uid[korder]
         starts = np.flatnonzero(np.concatenate([[True], kk[1:] != kk[:-1]]))
         ends = np.append(starts[1:], len(kk))
-        for s, e in zip(starts, ends):
-            if emit == "edges" and e - s >= 2:
-                a, b = _verified_edges(kid[s:e], kph[s:e], cfg.hamming_threshold)
-                srcs.append(a)
-                dsts.append(b)
-            elif emit == "reps":
-                rep_band.append(np.full(e - s, band_id, np.int32))
-                rep_key.append(kk[s:e])
-                rep_ph.append(kph[s:e])
-                rep_id.append(kid[s:e])
+        sizes = ends - starts
+        # only multi-member runs need pairwise verification (rare)
+        for r in np.flatnonzero(sizes >= 2):
+            s, e = starts[r], ends[r]
+            a, b = _verified_edges(kid[s:e], kph[s:e], cfg.hamming_threshold)
+            srcs.append(a)
+            dsts.append(b)
 
     if emit == "edges":
         src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
         dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
         return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    # int64 band/key columns: Ray shuffles pickle uint64 above int64 range
     return pa.table(
         {
-            "band": pa.array(np.concatenate(rep_band) if rep_band else np.zeros(0, np.int32), pa.int32()),
+            "band": pa.array(
+                (np.concatenate(rep_band) if rep_band else np.zeros(0, np.int32)).astype(np.int64), pa.int64()
+            ),
             "key": pa.array(
-                (np.concatenate(rep_key) if rep_key else np.zeros(0, np.uint64)).astype(np.uint64), pa.uint64()
+                (np.concatenate(rep_key) if rep_key else np.zeros(0, np.uint64)).astype(np.uint64).view(np.int64),
+                pa.int64(),
             ),
             "phash": pa.array(
                 (np.concatenate(rep_ph) if rep_ph else np.zeros(0)).astype(np.int64).view(np.int64), pa.int64()
@@ -149,8 +158,37 @@ def _global_verify(group: pa.Table, *, threshold: int) -> pa.Table:
     )
 
 
-def simhash_candidate_edges(ds, cfg: SimHashConfig):
-    """Dataset with (id_field, hash_field) -> verified near-dup edge Dataset."""
+class _BucketMemberFilter:
+    """Keep only rep rows whose (band, key) bucket spans >= 2 blocks."""
+
+    def __init__(self, packed_ref):
+        import ray
+
+        self.keys = ray.get(packed_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.packkeys import lookup_sorted, pack_u128
+
+        key = batch.column("key").to_numpy().view(np.uint64)
+        band = batch.column("band").to_numpy().view(np.uint64)
+        probe = pack_u128(key, band)
+        found, _ = lookup_sorted(self.keys, np.zeros(len(self.keys), np.int64), probe)
+        return batch.filter(pa.array(found))
+
+
+def simhash_candidate_edges(ds, cfg: SimHashConfig, max_broadcast: int = 20_000_000):
+    """Dataset with (id_field, hash_field) -> verified near-dup edge Dataset.
+
+    Global stage: a vectorized ``groupby.aggregate(Count)`` finds the buckets
+    represented in >= 2 blocks (singletons — the overwhelming majority — never
+    reach a Python UDF); only members of those buckets flow into the
+    per-bucket Hamming-verification ``map_groups``.
+    """
+    import ray
+
+    from ..functions.packkeys import pack_u128
+    from .sortagg import dup_bucket_table
+
     local = ds.map_batches(
         functools.partial(_local_simhash, cfg=cfg, emit="edges"),
         batch_format="pyarrow",
@@ -161,7 +199,22 @@ def simhash_candidate_edges(ds, cfg: SimHashConfig):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    global_edges = reps.groupby(["band", "key"]).map_groups(
+    dup = dup_bucket_table(reps, ["band", "key"], rep_col="rid", max_rows=max_broadcast)
+    packed = np.sort(
+        pack_u128(
+            dup.column("key").to_numpy().view(np.uint64),
+            dup.column("band").to_numpy().view(np.uint64),
+        )
+    )
+    ref = ray.put(packed)
+    members = reps.map_batches(
+        _BucketMemberFilter,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    global_edges = members.groupby(["band", "key"]).map_groups(
         functools.partial(_global_verify, threshold=cfg.hamming_threshold), batch_format="pyarrow"
     )
     return local.union(global_edges)

@@ -1,0 +1,116 @@
+"""Sort-based duplicate-bucket resolution (replaces Ray groupby aggregates).
+
+Ray Data's ``groupby().aggregate()`` and ``map_groups`` pay per-group costs
+that are catastrophic when nearly every key is unique (measured in this
+environment: 223 s for Count+Min over 20M single-row groups vs 3.5 s for
+``Dataset.sort`` on the same data). All the dedup stages need exactly one
+wide primitive — "which bucket keys occur in >= 2 blocks, and what is the min
+id per such key" — so it is implemented here directly:
+
+1. ``ds.sort(keys)`` range-partitions and sorts (the only shuffle);
+2. one vectorized ``map_batches`` scan finds key runs inside each sorted
+   block: interior runs of size >= 2 emit a final (key, min, cnt) row; the
+   first and last run of every block are emitted as *partial* rows because
+   they may continue in a neighbor block;
+3. the tiny result (duplicated keys + 2 rows per block) is collected and the
+   partials are merged on the driver.
+
+Output volume is O(duplicated keys + num_blocks), never O(rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _scan_sorted_block(batch: pa.Table, *, key_cols: list[str], rep_col: str) -> pa.Table:
+    n = len(batch)
+    cols = {k: batch.column(k).to_numpy() for k in key_cols}
+    rep = batch.column(rep_col).to_numpy()
+    if n == 0:
+        out = {k: pa.array([], pa.int64()) for k in key_cols}
+        out.update(
+            {
+                "min_rep": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int8()),
+            }
+        )
+        return pa.table(out)
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    for k in key_cols:
+        v = cols[k]
+        new_run[1:] |= v[1:] != v[:-1]
+    run_starts = np.flatnonzero(new_run)
+    run_ends = np.append(run_starts[1:], n)
+    sizes = run_ends - run_starts
+    mins = np.minimum.reduceat(rep, run_starts)
+
+    nruns = len(run_starts)
+    is_boundary = np.zeros(nruns, dtype=bool)
+    is_boundary[0] = True
+    is_boundary[-1] = True
+    keep = is_boundary | (sizes >= 2)
+
+    out = {k: pa.array(cols[k][run_starts[keep]], pa.int64()) for k in key_cols}
+    out["min_rep"] = pa.array(mins[keep], pa.int64())
+    out["cnt"] = pa.array(sizes[keep].astype(np.int64), pa.int64())
+    out["partial"] = pa.array(is_boundary[keep].astype(np.int8), pa.int8())
+    return pa.table(out)
+
+
+def dup_bucket_table(reps, key_cols: list[str], rep_col: str = "rep", max_rows: int = 20_000_000) -> pa.Table:
+    """(key..., min_rep, cnt) for every key whose total rep count >= 2.
+
+    All key columns must be int64 (bit-view larger types before calling).
+    Result is a driver-side Arrow table bounded by ``max_rows``.
+    """
+    import functools
+
+    scanned = reps.sort(key_cols).map_batches(
+        functools.partial(_scan_sorted_block, key_cols=key_cols, rep_col=rep_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    parts, total = [], 0
+    for b in scanned.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        total += t.num_rows
+        if total > max_rows:
+            raise RuntimeError(
+                f"duplicated-bucket table exceeds {max_rows} rows; "
+                "fall back to global_bucket_mode='groupby'"
+            )
+        parts.append(t)
+    if not parts:
+        sch = {k: pa.array([], pa.int64()) for k in key_cols}
+        sch.update({"min_rep": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        return pa.table(sch)
+    tbl = pa.concat_tables(parts)
+
+    keys = [tbl.column(k).to_numpy() for k in key_cols]
+    mins = tbl.column("min_rep").to_numpy()
+    cnts = tbl.column("cnt").to_numpy()
+    partial = tbl.column("partial").to_numpy().astype(bool)
+
+    # merge partial rows sharing a key (runs split across sorted blocks)
+    order = np.lexsort(tuple(reversed(keys)))
+    skeys = [k[order] for k in keys]
+    smins, scnts, spart = mins[order], cnts[order], partial[order]
+    n = len(order)
+    new_run = np.zeros(n, dtype=bool)
+    if n:
+        new_run[0] = True
+        for k in skeys:
+            new_run[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(new_run)
+    tot_cnt = np.add.reduceat(scnts, starts) if n else np.zeros(0, np.int64)
+    tot_min = np.minimum.reduceat(smins, starts) if n else np.zeros(0, np.int64)
+    keep = tot_cnt >= 2
+
+    out = {k: pa.array(skeys[i][starts[keep]], pa.int64()) for i, k in enumerate(key_cols)}
+    out["min_rep"] = pa.array(tot_min[keep], pa.int64())
+    out["cnt"] = pa.array(tot_cnt[keep], pa.int64())
+    return pa.table(out)

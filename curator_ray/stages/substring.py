@@ -19,26 +19,22 @@ import functools
 import numpy as np
 import pyarrow as pa
 
-from ..functions.winnow import doc_fingerprints
+from ..functions.winnow import batch_fingerprints, doc_fingerprints  # noqa: F401
 
 
 def _local_substring(
     batch: pa.Table, *, text_field: str, id_field: str, fp_len: int, winnow_window: int, emit: str
 ) -> pa.Table:
     ids = batch.column(id_field).to_numpy()
-    texts = batch.column(text_field).to_pylist()
-    fp_list, id_rep = [], []
-    for i, t in enumerate(texts):
-        fps = doc_fingerprints(t or "", fp_len, winnow_window)
-        if len(fps):
-            fp_list.append(np.unique(fps))
-            id_rep.append(np.full(len(fp_list[-1]), ids[i], np.int64))
-    if not fp_list:
+    all_fp, doc_idx = batch_fingerprints(batch.column(text_field), fp_len, winnow_window)
+    if len(all_fp) == 0:
         if emit == "edges":
             return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        return pa.table({"fp": pa.array([], pa.uint64()), "rep": pa.array([], pa.int64())})
-    fp = np.concatenate(fp_list)
-    rid = np.concatenate(id_rep)
+        return pa.table({"fp": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})
+    # per-doc unique fingerprints
+    pairs = np.unique(np.stack([doc_idx, all_fp.view(np.int64)], axis=1), axis=0)
+    fp = pairs[:, 1].view(np.uint64)
+    rid = ids[pairs[:, 0]]
     order = np.argsort(fp, kind="stable")
     sfp, sid = fp[order], rid[order]
     starts = np.flatnonzero(np.concatenate([[True], sfp[1:] != sfp[:-1]]))
@@ -50,7 +46,8 @@ def _local_substring(
         return pa.table(
             {"src": pa.array(member_src[mask], pa.int64()), "dst": pa.array(sid[mask], pa.int64())}
         )
-    return pa.table({"fp": pa.array(sfp[starts], pa.uint64()), "rep": pa.array(run_min, pa.int64())})
+    # int64 view: Ray aggregates pickle uint64 columns above the int64 range
+    return pa.table({"fp": pa.array(sfp[starts].view(np.int64), pa.int64()), "rep": pa.array(run_min, pa.int64())})
 
 
 def _global_star(group: pa.Table) -> pa.Table:
@@ -62,17 +59,63 @@ def _global_star(group: pa.Table) -> pa.Table:
     )
 
 
+class _BroadcastFpEmitter:
+    """map_batches actor emitting (min_rep -> rep) for fingerprints present in
+    >= 2 blocks (broadcast sorted uint64 fingerprint -> min rep table)."""
+
+    def __init__(self, packed_ref):
+        import ray
+
+        self.keys, self.vals = ray.get(packed_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fp = batch.column("fp").to_numpy()
+        rep = batch.column("rep").to_numpy()
+        if len(self.keys) == 0:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        pos = np.searchsorted(self.keys, fp)
+        found = np.zeros(len(fp), dtype=bool)
+        valid = pos < len(self.keys)
+        found[valid] = self.keys[pos[valid]] == fp[valid]
+        minrep = np.zeros(len(fp), dtype=np.int64)
+        minrep[found] = self.vals[pos[found]]
+        mask = found & (rep != minrep)
+        return pa.table({"src": pa.array(minrep[mask], pa.int64()), "dst": pa.array(rep[mask], pa.int64())})
+
+
+def _global_fp_broadcast(reps, max_broadcast: int = 20_000_000):
+    import ray
+
+    from .sortagg import dup_bucket_table
+
+    dup = dup_bucket_table(reps, ["fp"], max_rows=max_broadcast)
+    keys = dup.column("fp").to_numpy().astype(np.int64)
+    vals = dup.column("min_rep").to_numpy().astype(np.int64)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], vals[order]))
+    return reps.map_batches(
+        _BroadcastFpEmitter,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
 def substring_candidate_edges(
     ds,
     min_match_length: int = 50,
     text_field: str = "caption",
     id_field: str = "_id",
     winnow_window: int = 8,
+    global_mode: str = "broadcast",
 ):
     """Documents sharing an exact span >= min_match_length -> edges.
 
     fp_len is chosen so the winnowing guarantee covers min_match_length:
-    fp_len + winnow_window - 1 == min_match_length.
+    fp_len + winnow_window - 1 == min_match_length. The global stage uses the
+    vectorized aggregate + broadcast pattern by default (see lsh.py), with a
+    ``groupby`` map_groups fallback.
     """
     fp_len = max(4, min_match_length - winnow_window + 1)
     kw = dict(
@@ -88,4 +131,6 @@ def substring_candidate_edges(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if global_mode == "broadcast":
+        return local.union(_global_fp_broadcast(reps))
     return local.union(reps.groupby("fp").map_groups(_global_star, batch_format="pyarrow"))
