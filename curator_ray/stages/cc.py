@@ -12,10 +12,11 @@ use two CPU paths:
 - **distributed HashMin label propagation** (Rastogi et al. 2013 / Kiveris
   et al. "Connected Components in MapReduce"): labels start as vertex ids;
   each round every vertex takes the min label among itself and its neighbors
-  (``edges ⋈ labels`` then ``groupby(v).min(label)``), converging in
+  (sort-based rounds: a (vertex, kind) sort + vectorized scan joins labels to
+  edges, then ``sorted_group_min`` applies the min rule), converging in
   O(diameter) rounds. The LSH stage emits *star* edges (diameter 2 per
-  bucket), so rounds stay small; convergence is detected by the monotone
-  sum-of-labels fixpoint (labels only ever decrease).
+  bucket), so rounds stay small; convergence is detected by a wrap-around
+  uint64 label checksum (labels only ever decrease).
 
 Output: Dataset[(v:int64, group:int64)] where group = min id of the component.
 Rows with v == group are the survivors; v != group are duplicates — so the
@@ -146,48 +147,218 @@ def _propagate_group(group: pa.Table) -> pa.Table:
     )
 
 
-def _hashmin_distributed(edges, cfg: FuzzyDedupConfig):
-    """Iterative min-label propagation entirely in Ray Data operators.
-
-    The per-round join (edges ⋈ labels) is expressed as a tagged-union
-    ``groupby(vertex).map_groups`` — one hash shuffle per round — followed by
-    ``groupby(v).min(group)`` to apply the min rule.
-    """
-    und = edges.union(edges.map_batches(_swap, batch_format="pyarrow", zero_copy_batch=True)).materialize()
-    tagged_edges = und.map_batches(_tag_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
-
-    # initial labels: every distinct vertex labels itself
-    labels = (
-        und.map_batches(
-            lambda b: pa.table({"v": b.column("src")}), batch_format="pyarrow", zero_copy_batch=True
+def _scan_min_runs(batch: pa.Table, *, key: str, val: str) -> pa.Table:
+    """Per sorted block: (key, min(val)) per run; first/last runs flagged
+    partial (they may continue in a neighbor block)."""
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {key: pa.array([], pa.int64()), val: pa.array([], pa.int64()), "partial": pa.array([], pa.int8())}
         )
-        .groupby("v")
-        .count()
+    k = batch.column(key).to_numpy()
+    x = batch.column(val).to_numpy()
+    new_run = np.concatenate([[True], k[1:] != k[:-1]])
+    starts = np.flatnonzero(new_run)
+    mins = np.minimum.reduceat(x, starts)
+    part = np.zeros(len(starts), dtype=np.int8)
+    part[0] = 1
+    part[-1] = 1
+    return pa.table({key: pa.array(k[starts], pa.int64()), val: pa.array(mins, pa.int64()), "partial": pa.array(part, pa.int8())})
+
+
+def sorted_group_min(ds, key: str, val: str):
+    """Distributed (key, min(val)) for ALL keys — sort + vectorized run scan;
+    boundary runs merged on the driver and re-injected as one small block.
+    Replaces ``groupby(key).min(val)`` (per-group overhead, see sortagg.py)."""
+    import functools
+
+    import pyarrow.compute as pc
+    import ray
+
+    scanned = (
+        ds.sort([key])
         .map_batches(
-            lambda b: pa.table({"v": b.column("v"), "group": b.column("v")}),
+            functools.partial(_scan_min_runs, key=key, val=val),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         .materialize()
     )
-    prev_sum = labels.sum("group")
+    interior = scanned.map_batches(
+        lambda b: b.filter(pc.equal(b.column("partial"), 0)).drop_columns(["partial"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    boundary = pa.concat_tables(
+        [
+            pa.table(b).filter(pc.equal(pa.table(b).column("partial"), 1))
+            for b in scanned.iter_batches(batch_format="pyarrow")
+        ]
+    )
+    bk = boundary.column(key).to_numpy()
+    bv = boundary.column(val).to_numpy()
+    order = np.argsort(bk, kind="stable")
+    bk, bv = bk[order], bv[order]
+    starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]])) if len(bk) else np.zeros(0, np.int64)
+    merged = pa.table(
+        {
+            key: pa.array(bk[starts], pa.int64()),
+            val: pa.array(np.minimum.reduceat(bv, starts) if len(bk) else np.zeros(0, np.int64), pa.int64()),
+        }
+    )
+    return interior.union(ray.data.from_arrow(merged))
+
+
+def _scan_propagate(batch: pa.Table) -> pa.Table:
+    """Per block sorted by (k, kind): for each interior vertex run, read its
+    label (the kind-0 row, first in the run) and emit (v, label) messages for
+    itself and every outgoing edge; boundary runs are re-emitted raw."""
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                "v": pa.array([], pa.int64()),
+                "group": pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64()),
+                "payload": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int8()),
+            }
+        )
+    k = batch.column("k").to_numpy()
+    payload = batch.column("payload").to_numpy()
+    kind = batch.column("kind").to_numpy()
+    new_run = np.concatenate([[True], k[1:] != k[:-1]])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], n)
+    sizes = ends - starts
+    nruns = len(starts)
+    is_boundary_run = np.zeros(nruns, dtype=bool)
+    is_boundary_run[0] = True
+    is_boundary_run[-1] = True
+    # interior runs always begin with their kind-0 label row (kind sorted)
+    interior = ~is_boundary_run
+    run_has_label = kind[starts] == 0
+    ok = interior & run_has_label
+    row_run = np.repeat(np.arange(nruns), sizes)
+    row_ok = ok[row_run]
+    labels_per_row = np.repeat(payload[starts], sizes)  # label of the run
+    edge_rows = row_ok & (kind == 1)
+    out_v = np.concatenate([k[starts[ok]], payload[edge_rows]])
+    out_g = np.concatenate([payload[starts[ok]], labels_per_row[edge_rows]])
+    # boundary (and label-less, which only happens at boundaries) rows pass through
+    passthru = ~row_ok
+    nm, np_ = len(out_v), int(passthru.sum())
+    msgs_t = pa.table(
+        {
+            "v": pa.array(out_v, pa.int64()),
+            "group": pa.array(out_g, pa.int64()),
+            "k": pa.nulls(nm, pa.int64()),
+            "payload": pa.nulls(nm, pa.int64()),
+            "kind": pa.nulls(nm, pa.int8()),
+        }
+    )
+    pass_t = pa.table(
+        {
+            "v": pa.nulls(np_, pa.int64()),
+            "group": pa.nulls(np_, pa.int64()),
+            "k": pa.array(k[passthru], pa.int64()),
+            "payload": pa.array(payload[passthru], pa.int64()),
+            "kind": pa.array(kind[passthru], pa.int8()),
+        }
+    )
+    return pa.concat_tables([msgs_t, pass_t])
+
+
+def _hashmin_distributed(edges, cfg: FuzzyDedupConfig):
+    """Iterative min-label propagation with sort-based rounds.
+
+    Each round: tagged union of label rows (kind 0) and edge rows (kind 1)
+    sorted by (vertex, kind); a vectorized scan reads each vertex's label and
+    emits (neighbor, label) messages; runs split across block boundaries are
+    resolved on the driver (bounded by 2 rows per block x run width). Then
+    ``sorted_group_min`` applies the min rule. No per-group Python anywhere.
+    """
+    import ray
+
+    und = edges.union(edges.map_batches(_swap, batch_format="pyarrow", zero_copy_batch=True)).materialize()
+    tagged_edges = und.map_batches(_tag_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # initial labels: every distinct vertex labels itself (v -> v)
+    labels = sorted_group_min(
+        und.map_batches(
+            lambda b: pa.table({"v": b.column("src"), "group": b.column("src")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "v",
+        "group",
+    ).materialize()
+    prev_sum = _labels_checksum(labels)
 
     for _ in range(cfg.cc_max_iterations):
         tagged = labels.map_batches(_tag_labels, batch_format="pyarrow", zero_copy_batch=True).union(
             tagged_edges
         )
-        msgs = tagged.groupby("k").map_groups(_propagate_group, batch_format="pyarrow")
-        labels = (
-            msgs.groupby("v")
-            .min("group")
-            .map_batches(_rename_min, batch_format="pyarrow", zero_copy_batch=True)
+        scanned = (
+            tagged.sort(["k", "kind"])
+            .map_batches(_scan_propagate, batch_format="pyarrow", zero_copy_batch=True)
             .materialize()
         )
-        new_sum = labels.sum("group")
+        msgs = scanned.map_batches(
+            lambda b: b.select(["v", "group"]).filter(pc.is_valid(b.column("v"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # boundary passthrough rows: resolve on the driver
+        btbls = []
+        for b in scanned.iter_batches(batch_format="pyarrow"):
+            t = pa.table(b).filter(pc.is_valid(pa.table(b).column("k")))
+            if t.num_rows:
+                btbls.append(t.select(["k", "payload", "kind"]))
+        boundary_msgs = _resolve_boundary_runs(btbls)
+        labels = sorted_group_min(
+            msgs.union(ray.data.from_arrow(boundary_msgs)), "v", "group"
+        ).materialize()
+        new_sum = _labels_checksum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     return labels
+
+
+def _labels_checksum(labels) -> int:
+    """Wrap-around uint64 sum of the label column (convergence detector).
+
+    Labels only ever decrease, so the checksum changes iff any label changed
+    (a wrapped collision would need the total decrease to be an exact multiple
+    of 2^64). ``Dataset.sum`` is unusable here: a Python-int sum of hash-range
+    int64 ids overflows Arrow int64 and crashes the reduce."""
+    total = np.uint64(0)
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        col = pa.table(b).column("group").to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            total += col.sum(dtype=np.uint64)
+    return int(total)
+
+
+def _resolve_boundary_runs(btbls: list[pa.Table]) -> pa.Table:
+    """Driver-side propagation for vertex runs that crossed block boundaries."""
+    if not btbls:
+        return pa.table({"v": pa.array([], pa.int64()), "group": pa.array([], pa.int64())})
+    t = pa.concat_tables(btbls)
+    k = t.column("k").to_numpy()
+    payload = t.column("payload").to_numpy()
+    kind = t.column("kind").to_numpy()
+    order = np.lexsort((kind, k))
+    k, payload, kind = k[order], payload[order], kind[order]
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    sizes = np.diff(np.append(starts, len(k)))
+    label = payload[starts]  # kind-0 row first within each run
+    row_label = np.repeat(label, sizes)
+    edge_rows = kind == 1
+    out_v = np.concatenate([k[starts], payload[edge_rows]])
+    out_g = np.concatenate([label, row_label[edge_rows]])
+    return pa.table({"v": pa.array(out_v, pa.int64()), "group": pa.array(out_g, pa.int64())})
 
 
 def removal_ids(labels) -> "ray.data.Dataset":  # noqa: F821

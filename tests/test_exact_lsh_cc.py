@@ -143,3 +143,25 @@ def test_removal_broadcast_and_join(ray_session):
     out2 = remove_by_ids_join(ds, rm, num_partitions=4)
     kept2 = sorted(r["_id"] for r in out2.take_all())
     assert kept2 == kept
+
+
+def test_distributed_cc_boundary_runs(ray_session):
+    # many blocks force vertex runs to split across sorted-block boundaries
+    rng = np.random.RandomState(7)
+    edges = [(int(rng.randint(0, 500)), int(rng.randint(0, 500))) for _ in range(3000)]
+    edges = [(a, b) for a, b in edges if a != b]
+    tables = []
+    for s in range(0, len(edges), 150):
+        chunk = edges[s : s + 150]
+        tables.append(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _ in chunk], pa.int64()),
+                    "dst": pa.array([b for _, b in chunk], pa.int64()),
+                }
+            )
+        )
+    cfg = FuzzyDedupConfig(cc_driver_fallback_edges=0, cc_num_partitions=8, cc_max_iterations=60)
+    labels = connected_components(ray.data.from_arrow(tables), cfg)
+    got = {r["v"]: r["group"] for r in labels.take_all()}
+    assert got == _brute_components(edges)
