@@ -213,6 +213,48 @@ def lowercase(arr) -> pa.Array:
     return pc.utf8_lower(arr)
 
 
+# --------------------------------------------------------------- repetition
+
+
+def _repeated_segment_ratio(arr, pattern: str) -> pa.Array:
+    """Fraction of segments (split on ``pattern``) that are duplicates of an
+    earlier segment in the same document — reference RepeatedLines/Paragraphs
+    (``filters/heuristic/repetition/repetition.py:24-157``). Vectorized: one
+    murmur pass over every segment in the batch + ragged run counting."""
+    from ..functions.murmur import hash_bytes_grouped
+    from ..functions.shingles import _string_array_buffers
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    splits = pc.split_pattern(arr, pattern)
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    counts = pc.list_value_length(splits).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = splits.flatten()
+    if len(flat) == 0:
+        return pa.array(np.zeros(len(arr)), pa.float64())
+    data, offsets = _string_array_buffers(flat)
+    lengths = offsets[1:] - offsets[:-1]
+    h = hash_bytes_grouped(data, offsets[:-1], lengths, seed=1, bits=64).view(np.int64)
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    # duplicates within a doc: sort by (doc, hash), count rows beyond the
+    # first of each (doc, hash) run
+    order = np.lexsort((h, doc_idx))
+    sd, sh = doc_idx[order], h[order]
+    first = np.concatenate([[True], (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])])
+    dup_per_doc = np.bincount(sd[~first], minlength=len(counts))
+    ratio = np.where(counts > 0, dup_per_doc / np.maximum(counts, 1), 0.0)
+    return pa.array(ratio, pa.float64())
+
+
+def repeated_lines_ratio(arr) -> pa.Array:
+    return _repeated_segment_ratio(arr, "\n")
+
+
+def repeated_paragraphs_ratio(arr) -> pa.Array:
+    return _repeated_segment_ratio(arr, "\n\n")
+
+
 # ------------------------------------------------------------- fingerprints
 
 

@@ -117,3 +117,23 @@ def test_splitter_joiner_roundtrip(ray_session):
     assert [r["text"] for r in rows] == ["a", "b", "c", "xyz"]
     joined = {r["doc_id"]: r["text"] for r in document_joiner(split, "text", "|").take_all()}
     assert joined == {1: "a|b|c", 2: "xyz"}
+
+
+def test_repeated_lines_paragraphs():
+    from curator_ray.stages.text import repeated_lines_ratio, repeated_paragraphs_ratio
+
+    arr = pa.array(
+        [
+            "a\nb\na\nc",  # 1 dup of 4 lines
+            "x\ny\nz",  # none
+            "",  # single empty segment
+            "p\np\np\np",  # 3 dups of 4
+        ]
+    )
+    r = repeated_lines_ratio(arr).to_pylist()
+    assert r[0] == pytest.approx(0.25)
+    assert r[1] == 0.0
+    assert r[3] == pytest.approx(0.75)
+    p = repeated_paragraphs_ratio(pa.array(["one\n\ntwo\n\none", "solo"])).to_pylist()
+    assert p[0] == pytest.approx(1 / 3)
+    assert p[1] == 0.0
