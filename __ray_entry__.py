@@ -345,6 +345,24 @@ def q_lsh_ann_topk(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings"), q, k=10, num_tables=12, num_bits=8)
 
 
+def q_alpha_fraction(sf_dir: str):
+    from curator_ray.stages.text import alpha_fraction
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "alpha_frac": pc.cast(alpha_fraction(b.column("text")), pa.float64())}
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ivf_ann_topk(sf_dir: str):
+    from curator_ray.stages.ann import ivf_topk
+
+    q = _query_vectors(sf_dir, 3)
+    return ivf_topk(_read(sf_dir, "embeddings"), q, k=10, n_clusters=16, nprobe=4)
+
+
 def q_lang_id(sf_dir: str):
     from curator_ray.stages.text import lang_id
 
@@ -388,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_longest": q_top10_longest,
         "events_by_type": q_events_by_type,
         "ann_topk": q_ann_topk,
+        "alpha_fraction": q_alpha_fraction,
         # rows-only (non-SQL-expressible)
         "minhash_docs": q_minhash_docs,
         "fuzzy_dedup_images": q_fuzzy_dedup_images,
@@ -396,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_survivors": q_image_dedup_survivors,
         "semantic_dedup": q_semantic_dedup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
     }
@@ -456,6 +476,10 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": (
             "SELECT event_type, COUNT(*)::BIGINT AS n_events, "
             "SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT AS sum_cents FROM events GROUP BY event_type"
+        ),
+        "alpha_fraction": (
+            "SELECT doc_id, CASE WHEN length(text) > 0 THEN "
+            "len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE / length(text) ELSE 0 END AS alpha_frac FROM documents"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3), "

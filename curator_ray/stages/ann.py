@@ -102,6 +102,91 @@ def _lsh_sig(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return out
 
 
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int,
+    id_field: str = "vec_id",
+    embedding_field: str = "embedding",
+    n_clusters: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 50_000,
+    seed: int = 42,
+):
+    """IVF approximate top-k: k-means coarse quantizer fit on a sample, each
+    query probes its ``nprobe`` nearest cells, exact cosine re-rank inside.
+
+    The scale path for ANN (SURVEY.md graft additions): cell assignment is a
+    stateless broadcast ``map_batches``; only rows in probed cells are scored.
+    """
+    import functools
+
+    import ray
+
+    from ..config import SemanticDedupConfig
+    from .semantic import kmeans_fit
+
+    parts = [
+        _emb_matrix(pa.table(b), embedding_field)
+        for b in ds.limit(sample_size).iter_batches(batch_format="pyarrow")
+    ]
+    sample = np.concatenate([p for p in parts if len(p)])
+    cfg = SemanticDedupConfig(n_clusters=n_clusters, seed=seed, kmeans_sample_size=sample_size)
+    centroids = kmeans_fit(sample, cfg)
+    cn = _normalize(centroids)
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, : min(nprobe, len(cn))]  # (nq, nprobe)
+    q_ref = ray.put(qn)
+    c_ref = ray.put(centroids)
+    p_ref = ray.put(probe)
+
+    def local(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        cents = ray.get(c_ref)
+        pr = ray.get(p_ref)
+        emb = _emb_matrix(batch, embedding_field)
+        ids = batch.column(id_field).to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        d = (
+            (emb * emb).sum(axis=1, keepdims=True)
+            + (cents * cents).sum(axis=1)[None, :]
+            - 2.0 * (emb @ cents.T)
+        )
+        cell = d.argmin(axis=1)
+        en = _normalize(emb)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q)):
+            cand = np.isin(cell, pr[qi])
+            if not cand.any():
+                continue
+            sims = en[cand] @ q[qi]
+            kk = min(k, len(sims))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_v.append(ids[cand][part])
+            out_s.append(sims[part])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    local_ds = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return local_ds.groupby("query_id").map_groups(
+        functools.partial(_merge_topk, k=k), batch_format="pyarrow"
+    )
+
+
 def lsh_topk(
     ds,
     queries: np.ndarray,

@@ -213,6 +213,55 @@ def lowercase(arr) -> pa.Array:
     return pc.utf8_lower(arr)
 
 
+def quotation_remover(arr) -> pa.Array:
+    """Strip one pair of surrounding quotes (reference QuotationRemover)."""
+    return pc.replace_substring_regex(arr, r'^\s*"(.*)"\s*$', r"\1")
+
+
+def slicer(arr, start: int = 0, stop: int | None = None) -> pa.Array:
+    """Reference Slicer modifier: keep chars [start, stop)."""
+    return pc.utf8_slice_codeunits(arr, start, stop if stop is not None else 2**31 - 1)
+
+
+_BOILERPLATE_LINE = r"(?mi)^.*\b(terms of use|privacy policy|cookie policy|all rights reserved|javascript must be enabled)\b.*$\n?"
+
+
+def boilerplate_remover(arr) -> pa.Array:
+    """Drop C4-style boilerplate lines (reference BoilerPlateStringModifier)."""
+    return pc.replace_substring_regex(arr, _BOILERPLATE_LINE, "")
+
+
+# -------------------------------------------------------------- code filters
+
+
+def line_count(arr) -> pa.Array:
+    """Reference NumberOfLinesOfCodeFilter (heuristic/code/code.py)."""
+    return pc.add(pc.count_substring(arr, "\n"), 1)
+
+
+def python_comment_to_code_ratio(arr) -> pa.Array:
+    """# comment lines / total lines (reference PythonCommentToCodeFilter)."""
+    comments = pc.count_substring_regex(arr, r"(?m)^\s*#")
+    return _ratio(comments, line_count(arr))
+
+
+def general_comment_to_code_ratio(arr) -> pa.Array:
+    """//, /* */ and # comment markers per line (GeneralCommentToCodeFilter)."""
+    comments = pc.count_substring_regex(arr, r"(?m)^\s*(//|#|/\*)")
+    return _ratio(comments, line_count(arr))
+
+
+def xml_header_present(arr) -> pa.Array:
+    """Reference XMLHeaderFilter: document starts with an XML prolog."""
+    return pc.match_substring_regex(arr, r"^\s*<\?xml")
+
+
+def alpha_fraction(arr) -> pa.Array:
+    """Reference AlphaFilter: fraction of alphabetic characters."""
+    letters = pc.count_substring_regex(arr, r"[a-zA-Z]")
+    return _ratio(letters, pc.utf8_length(arr))
+
+
 # --------------------------------------------------------------- repetition
 
 

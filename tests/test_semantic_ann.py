@@ -121,3 +121,27 @@ def test_lsh_topk_recall(ray_session):
     # the near-identical true neighbor must be the top hit
     assert got[0][0] == 0
     assert got[1][0] == 1
+
+
+def test_ivf_topk_recall(ray_session):
+    from curator_ray.stages.ann import ivf_topk
+
+    rng = np.random.RandomState(8)
+    centers = rng.normal(scale=4.0, size=(6, 16))
+    emb = np.concatenate([c + rng.normal(scale=0.4, size=(60, 16)) for c in centers])
+    ids = np.arange(len(emb), dtype=np.int64)
+    q = emb[[5, 100]] + rng.normal(scale=0.01, size=(2, 16))
+    flat = pa.array(emb.astype(np.float32).ravel(), pa.float32())
+    tbl = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()), "embedding": pa.FixedSizeListArray.from_arrays(flat, 16)}
+    )
+    ds = ray.data.from_arrow([tbl.slice(0, 200), tbl.slice(200)])
+    res = ivf_topk(ds, q, k=5, n_clusters=6, nprobe=2, seed=1).take_all()
+    got = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got[0][0] == 5
+    assert got[1][0] == 100
+    # exact top-5 from the probed region matches brute force on the same cells
+    oracle = _brute_oracle(emb.astype(np.float32).astype(np.float64), ids, q, 5)
+    assert len(set(got[0]) & set(oracle[0])) >= 4

@@ -137,3 +137,31 @@ def test_repeated_lines_paragraphs():
     p = repeated_paragraphs_ratio(pa.array(["one\n\ntwo\n\none", "solo"])).to_pylist()
     assert p[0] == pytest.approx(1 / 3)
     assert p[1] == 0.0
+
+
+def test_code_filters():
+    from curator_ray.stages.text import (
+        alpha_fraction,
+        general_comment_to_code_ratio,
+        line_count,
+        python_comment_to_code_ratio,
+        xml_header_present,
+    )
+
+    code = "# comment\nx = 1\n# another\ny = 2"
+    arr = pa.array([code, "no comments here"])
+    assert line_count(arr).to_pylist() == [4, 1]
+    assert python_comment_to_code_ratio(arr).to_pylist() == [pytest.approx(0.5), 0.0]
+    g = general_comment_to_code_ratio(pa.array(["// c\nint x;\n/* block */"])).to_pylist()
+    assert g[0] == pytest.approx(2 / 3)
+    assert xml_header_present(pa.array(['<?xml version="1.0"?><a/>', "<html>"])).to_pylist() == [True, False]
+    assert alpha_fraction(pa.array(["ab12"])).to_pylist() == [pytest.approx(0.5)]
+
+
+def test_more_modifiers():
+    from curator_ray.stages.text import boilerplate_remover, quotation_remover, slicer
+
+    assert quotation_remover(pa.array(['"hello"', "plain"])).to_pylist() == ["hello", "plain"]
+    assert slicer(pa.array(["abcdef"]), 1, 4).to_pylist() == ["bcd"]
+    out = boilerplate_remover(pa.array(["keep me\nAll Rights Reserved 2024\nand me"])).to_pylist()
+    assert out[0] == "keep me\nand me"
