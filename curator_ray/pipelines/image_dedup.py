@@ -60,8 +60,20 @@ def _checkpointed(manifest: CheckpointManifest | None, stage: str, part: str, fp
     ds.write_parquet(out_dir)
     out = ray.data.read_parquet(out_dir)
     if manifest is not None:
-        manifest.record(stage, part, fp)
+        manifest.record(stage, part, fp, counters=_dir_counters(out_dir, stage))
     return out
+
+
+def _dir_counters(out_dir: str, stage: str) -> dict:
+    """Row/file counters from parquet footers (no extra Ray job)."""
+    import pyarrow.parquet as pq
+
+    rows = files = 0
+    for name in os.listdir(out_dir):
+        if name.endswith(".parquet"):
+            files += 1
+            rows += pq.ParquetFile(os.path.join(out_dir, name)).metadata.num_rows
+    return {f"{stage}_rows": rows, f"{stage}_files": files}
 
 
 def image_dedup_workflow(

@@ -231,6 +231,20 @@ def boilerplate_remover(arr) -> pa.Array:
     return pc.replace_substring_regex(arr, _BOILERPLATE_LINE, "")
 
 
+def sort_batch_by_length(ds, text_field: str, descending: bool = False):
+    """Reorder rows WITHIN each batch by text length — the reference's
+    ``SortByLengthStage`` (``stages/text/classifiers/utils.py:24``), which
+    packs similar-length texts together for efficient batched inference.
+    In-batch only: no shuffle, ordering across batches is not defined."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lengths = pc.utf8_length(_texts(batch, text_field))
+        order = pc.sort_indices(lengths, sort_keys=[("", "descending" if descending else "ascending")])
+        return batch.take(order)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # -------------------------------------------------------------- code filters
 
 

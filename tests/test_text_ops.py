@@ -165,3 +165,15 @@ def test_more_modifiers():
     assert slicer(pa.array(["abcdef"]), 1, 4).to_pylist() == ["bcd"]
     out = boilerplate_remover(pa.array(["keep me\nAll Rights Reserved 2024\nand me"])).to_pylist()
     assert out[0] == "keep me\nand me"
+
+
+def test_sort_batch_by_length(ray_session):
+    from curator_ray.stages.text import sort_batch_by_length
+
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()), "text": pa.array(["mediumtext", "ab", "the longest text here"])}
+    )
+    out = sort_batch_by_length(ray.data.from_arrow(tbl), "text").take_all()
+    assert [r["doc_id"] for r in out] == [2, 1, 3]
+    out_d = sort_batch_by_length(ray.data.from_arrow(tbl), "text", descending=True).take_all()
+    assert [r["doc_id"] for r in out_d] == [3, 1, 2]
