@@ -108,8 +108,11 @@ def _local_bands_batch(
             return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
         member_src = np.repeat(run_min, sizes)
         mask = sid != member_src
+        # the same pair is emitted by every band that buckets it together —
+        # dedup within the batch (up to num_bands x fewer edge rows shuffled)
+        pairs = np.unique(np.stack([member_src[mask], sid[mask]], axis=1), axis=0)
         return pa.table(
-            {"src": pa.array(member_src[mask], pa.int64()), "dst": pa.array(sid[mask], pa.int64())}
+            {"src": pa.array(pairs[:, 0], pa.int64()), "dst": pa.array(pairs[:, 1], pa.int64())}
         )
 
     # bucket keys as bit-identical int64 views: Ray's groupby aggregate

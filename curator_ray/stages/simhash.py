@@ -118,6 +118,10 @@ def _local_simhash(batch: pa.Table, *, cfg: SimHashConfig, emit: str) -> pa.Tabl
     if emit == "edges":
         src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
         dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+        if len(src):
+            # the same verified pair can surface from several bands
+            pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+            src, dst = pairs[:, 0], pairs[:, 1]
         return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
     # int64 band/key columns: Ray shuffles pickle uint64 above int64 range
     return pa.table(

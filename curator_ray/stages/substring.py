@@ -43,8 +43,10 @@ def _local_substring(
     if emit == "edges":
         member_src = np.repeat(run_min, sizes)
         mask = sid != member_src
+        # many shared fingerprints emit the same pair — dedup within the batch
+        pairs = np.unique(np.stack([member_src[mask], sid[mask]], axis=1), axis=0)
         return pa.table(
-            {"src": pa.array(member_src[mask], pa.int64()), "dst": pa.array(sid[mask], pa.int64())}
+            {"src": pa.array(pairs[:, 0], pa.int64()), "dst": pa.array(pairs[:, 1], pa.int64())}
         )
     # int64 view: Ray aggregates pickle uint64 columns above the int64 range
     return pa.table({"fp": pa.array(sfp[starts].view(np.int64), pa.int64()), "rep": pa.array(run_min, pa.int64())})
