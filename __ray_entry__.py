@@ -92,6 +92,25 @@ def q_exact_dedup_prefix40(sf_dir: str):
     return _collect(exact_duplicate_ids(ds, text_field="prefix"))
 
 
+def q_exact_dedup_survivors(sf_dir: str):
+    from curator_ray.stages.exact import exact_duplicate_ids
+    from curator_ray.stages.removal import remove_by_ids
+
+    def add_prefix(b: pa.Table) -> pa.Table:
+        return b.append_column("prefix", pc.utf8_slice_codeunits(b.column("text"), 0, 40))
+
+    ds = _ids_docs(_read(sf_dir, "documents")).map_batches(
+        add_prefix, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    removal = exact_duplicate_ids(ds, text_field="prefix")
+    surv = remove_by_ids(ds, removal)
+    return surv.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"), "text": b.column("text")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_word_count(sf_dir: str):
     from curator_ray.stages.text import word_count
 
@@ -363,6 +382,21 @@ def q_ivf_ann_topk(sf_dir: str):
     return ivf_topk(_read(sf_dir, "embeddings"), q, k=10, n_clusters=16, nprobe=4)
 
 
+def q_image_semantic_dedup(sf_dir: str):
+    """Reference image-dedup tutorial flow (image_dedup_example.py:33-120):
+    decode+embed (actor pool) -> semantic dedup over the embeddings."""
+    from curator_ray.config import SemanticDedupConfig
+    from curator_ray.stages.ids import with_ids
+    from curator_ray.stages.image import embed_stage
+    from curator_ray.stages.semantic import semantic_duplicate_ids
+    import ray
+
+    ds = with_ids(ray.data.read_parquet(_synth_dir(sf_dir)), key_field="image_id")
+    emb = embed_stage(ds, dim=64).select_columns(["_id", "embedding"]).materialize()
+    removal, _ = semantic_duplicate_ids(emb, SemanticDedupConfig(n_clusters=8, eps=1e-6))
+    return _collect(removal)
+
+
 def q_lang_id(sf_dir: str):
     from curator_ray.stages.text import lang_id
 
@@ -395,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_removals": q_exact_dedup_removals,
         "exact_dedup_prefix40": q_exact_dedup_prefix40,
+        "exact_dedup_survivors": q_exact_dedup_survivors,
         "word_count": q_word_count,
         "token_count": q_token_count,
         "word_filter": q_word_filter,
@@ -417,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "lang_id": q_lang_id,
+        "image_semantic_dedup": q_image_semantic_dedup,
         "fingerprint": q_fingerprint,
     }
 
@@ -450,6 +486,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_prefix40": (
             "SELECT doc_id AS _id FROM documents "
             "WHERE doc_id NOT IN (SELECT MIN(doc_id) FROM documents GROUP BY substr(text,1,40)) ORDER BY _id"
+        ),
+        "exact_dedup_survivors": (
+            "SELECT doc_id, text FROM documents "
+            "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY substr(text,1,40))"
         ),
         "word_count": (
             r"SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_words FROM documents"

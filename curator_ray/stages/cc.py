@@ -36,33 +36,34 @@ LABELS_SCHEMA = pa.schema([("v", pa.int64()), ("group", pa.int64())])
 
 
 def union_find_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Union-find on int64 endpoints -> (vertices, root_label) with
-    root_label = min vertex id of each component."""
+    """Connected components on int64 endpoints -> (vertices, root_label) with
+    root_label = min vertex id of each component.
+
+    Fully vectorized HashMin + pointer jumping (no Python loop over edges —
+    a driver-side Python union-find on ~10^6 edges costs tens of serial
+    seconds and caps scaling efficiency). Labels are dense indices, start as
+    self, and only ever decrease; each outer round scatters the per-edge min
+    to both endpoints and then shortcuts chains (new = new[new]), converging
+    in O(log n) rounds."""
     verts, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
     n = len(verts)
-    parent = np.arange(n, dtype=np.int64)
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    es, ed = idx[: len(src)], idx[len(src) :]
-    for a, b in zip(es.tolist(), ed.tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by smaller dense index == smaller vertex id (verts sorted)
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    # final flatten
-    for i in range(n):
-        parent[i] = find(i)
-    return verts, verts[parent]
+    E = len(src)
+    es, ed = idx[:E], idx[E:]
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        m = np.minimum(labels[es], labels[ed])  # per-edge min label
+        new = labels.copy()
+        np.minimum.at(new, es, m)
+        np.minimum.at(new, ed, m)
+        while True:  # pointer jumping / shortcutting
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return verts, verts[labels]
 
 
 def _dedup_edges_batch(batch: pa.Table) -> pa.Table:

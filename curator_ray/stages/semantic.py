@@ -74,6 +74,68 @@ def kmeans_fit(sample: np.ndarray, cfg: SemanticDedupConfig) -> np.ndarray:
     return centroids
 
 
+def kmeans_fit_distributed(ds, cfg: SemanticDedupConfig, init_centroids: np.ndarray | None = None) -> np.ndarray:
+    """Distributed Lloyd's iterations over the FULL Dataset.
+
+    Counterpart of the reference's RAFT-actor distributed k-means
+    (``semantic/kmeans.py:48-575``) without NCCL: each iteration is one
+    ``map_batches`` pass emitting per-cluster partial sums + counts (a
+    combiner — one (k, dim) matrix per block, no per-row shuffle), reduced on
+    the driver. Init defaults to k-means++ on a driver-side sample."""
+    import ray
+
+    if init_centroids is None:
+        parts = [
+            _emb_matrix(pa.table(b), cfg.embedding_field)
+            for b in ds.limit(cfg.kmeans_sample_size).iter_batches(batch_format="pyarrow")
+        ]
+        sample = np.concatenate([p for p in parts if len(p)])
+        small = SemanticDedupConfig(
+            n_clusters=cfg.n_clusters, seed=cfg.seed, kmeans_max_iters=1, kmeans_sample_size=cfg.kmeans_sample_size
+        )
+        centroids = kmeans_fit(sample, small)
+    else:
+        centroids = np.asarray(init_centroids, dtype=np.float64)
+    k = len(centroids)
+
+    for _ in range(cfg.kmeans_max_iters):
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(ref)
+            emb = _emb_matrix(batch, cfg.embedding_field)
+            if len(emb) == 0:
+                return pa.table({"payload": pa.array([], pa.binary())})
+            d = (
+                (emb * emb).sum(axis=1, keepdims=True)
+                + (cents * cents).sum(axis=1)[None, :]
+                - 2.0 * (emb @ cents.T)
+            )
+            assign = d.argmin(axis=1)
+            sums = np.zeros((k, emb.shape[1]))
+            np.add.at(sums, assign, emb)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            blob = np.concatenate([sums.ravel(), counts]).tobytes()
+            return pa.table({"payload": pa.array([blob], pa.binary())})
+
+        dim = centroids.shape[1]
+        total = np.zeros(k * dim + k)
+        for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        ):
+            for blob in pa.table(b).column("payload").to_pylist():
+                total += np.frombuffer(blob)
+        sums = total[: k * dim].reshape(k, dim)
+        counts = total[k * dim :]
+        new_c = centroids.copy()
+        nz = counts > 0
+        new_c[nz] = sums[nz] / counts[nz, None]
+        if np.allclose(new_c, centroids):
+            break
+        centroids = new_c
+    return centroids
+
+
 def _assign_batch(batch: pa.Table, *, centroids_ref, cfg: SemanticDedupConfig) -> pa.Table:
     import ray
 

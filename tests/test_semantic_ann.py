@@ -145,3 +145,20 @@ def test_ivf_topk_recall(ray_session):
     # exact top-5 from the probed region matches brute force on the same cells
     oracle = _brute_oracle(emb.astype(np.float32).astype(np.float64), ids, q, 5)
     assert len(set(got[0]) & set(oracle[0])) >= 4
+
+
+def test_kmeans_distributed_matches_structure(ray_session):
+    from curator_ray.stages.semantic import kmeans_fit_distributed
+
+    rng = np.random.RandomState(2)
+    centers = np.array([[0.0, 0.0, 0.0], [12.0, 12.0, 0.0], [-12.0, 8.0, 4.0]])
+    pts = np.concatenate([c + rng.normal(scale=0.3, size=(80, 3)) for c in centers]).astype(np.float32)
+    flat = pa.array(pts.ravel(), pa.float32())
+    tbl = pa.table(
+        {"_id": pa.array(range(len(pts)), pa.int64()), "embedding": pa.FixedSizeListArray.from_arrays(flat, 3)}
+    )
+    ds = ray.data.from_arrow([tbl.slice(0, 100), tbl.slice(100)]).materialize()
+    cfg = SemanticDedupConfig(n_clusters=3, seed=42, kmeans_max_iters=15, kmeans_sample_size=60)
+    got = kmeans_fit_distributed(ds, cfg)
+    for c in centers:
+        assert np.min(np.linalg.norm(got - c, axis=1)) < 0.5
