@@ -218,7 +218,129 @@ def simhash_candidate_edges(ds, cfg: SimHashConfig, max_broadcast: int = 20_000_
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
-    global_edges = members.groupby(["band", "key"]).map_groups(
-        functools.partial(_global_verify, threshold=cfg.hamming_threshold), batch_format="pyarrow"
+    # per-bucket Hamming verification via the sortagg pattern (sort + per-block
+    # vectorized run scan + driver boundary pass) instead of
+    # groupby().map_groups — framework per-group overhead serializes once dup
+    # buckets number in the millions
+    scanned = (
+        members.sort(["band", "key"])
+        .map_batches(
+            functools.partial(_scan_verify_blocks, threshold=cfg.hamming_threshold),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
     )
-    return local.union(global_edges)
+    import pyarrow.compute as pc
+
+    global_edges = scanned.map_batches(
+        lambda b: b.select(["src", "dst"]).filter(pc.is_valid(b.column("src"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    btbls = []
+    for b in scanned.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b).filter(pc.is_valid(pa.table(b).column("band")))
+        if t.num_rows:
+            btbls.append(t.select(["band", "key", "phash", "rid"]))
+    boundary_edges = _verify_boundary(btbls, cfg.hamming_threshold)
+    return local.union(global_edges).union(ray.data.from_arrow(boundary_edges))
+
+
+def _scan_verify_blocks(batch: pa.Table, *, threshold: int) -> pa.Table:
+    """Per sorted block: verify interior (band, key) runs; pass boundary runs
+    through (null-padded union table, same trick as cc._scan_propagate)."""
+    n = len(batch)
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "band": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "phash": pa.array([], pa.int64()),
+            "rid": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    band = batch.column("band").to_numpy()
+    key = batch.column("key").to_numpy()
+    ph = batch.column("phash").to_numpy()
+    rid = batch.column("rid").to_numpy()
+    new_run = np.concatenate([[True], (band[1:] != band[:-1]) | (key[1:] != key[:-1])])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], n)
+    nruns = len(starts)
+    boundary = np.zeros(nruns, dtype=bool)
+    boundary[0] = True
+    boundary[-1] = True
+    srcs, dsts = [], []
+    for r in np.flatnonzero(~boundary):
+        s, e = starts[r], ends[r]
+        a, b = _group_verify_arrays(ph[s:e], rid[s:e], threshold)
+        srcs.append(a)
+        dsts.append(b)
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    row_run = np.repeat(np.arange(nruns), ends - starts)
+    pass_mask = boundary[row_run]
+    np_ = int(pass_mask.sum())
+    nm = len(src)
+    msgs_t = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "band": pa.nulls(nm, pa.int64()),
+            "key": pa.nulls(nm, pa.int64()),
+            "phash": pa.nulls(nm, pa.int64()),
+            "rid": pa.nulls(nm, pa.int64()),
+        }
+    )
+    pass_t = pa.table(
+        {
+            "src": pa.nulls(np_, pa.int64()),
+            "dst": pa.nulls(np_, pa.int64()),
+            "band": pa.array(band[pass_mask], pa.int64()),
+            "key": pa.array(key[pass_mask], pa.int64()),
+            "phash": pa.array(ph[pass_mask], pa.int64()),
+            "rid": pa.array(rid[pass_mask], pa.int64()),
+        }
+    )
+    return pa.concat_tables([msgs_t, pass_t])
+
+
+def _group_verify_arrays(ph: np.ndarray, rid: np.ndarray, threshold: int) -> tuple[np.ndarray, np.ndarray]:
+    """One bucket's members -> verified edges (dedup identical pHash + star,
+    then pairwise Hamming among distinct values) — _global_verify's kernel."""
+    order = np.argsort(ph, kind="stable")
+    sph, sid = ph[order], rid[order]
+    starts = np.flatnonzero(np.concatenate([[True], sph[1:] != sph[:-1]]))
+    run_min = np.minimum.reduceat(sid, starts)
+    sizes = np.diff(np.append(starts, len(sid)))
+    member_src = np.repeat(run_min, sizes)
+    mask = sid != member_src
+    a, b = _verified_edges(run_min, sph[starts], threshold)
+    return np.concatenate([member_src[mask], a]), np.concatenate([sid[mask], b])
+
+
+def _verify_boundary(btbls: list[pa.Table], threshold: int) -> pa.Table:
+    """Driver-side verification of runs that crossed sorted-block boundaries."""
+    if not btbls:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    t = pa.concat_tables(btbls)
+    band = t.column("band").to_numpy()
+    key = t.column("key").to_numpy()
+    ph = t.column("phash").to_numpy()
+    rid = t.column("rid").to_numpy()
+    order = np.lexsort((key, band))
+    band, key, ph, rid = band[order], key[order], ph[order], rid[order]
+    starts = np.flatnonzero(np.concatenate([[True], (band[1:] != band[:-1]) | (key[1:] != key[:-1])]))
+    ends = np.append(starts[1:], len(band))
+    srcs, dsts = [], []
+    for s, e in zip(starts, ends):
+        a, b = _group_verify_arrays(ph[s:e], rid[s:e], threshold)
+        srcs.append(a)
+        dsts.append(b)
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
