@@ -219,15 +219,10 @@ def q_top10_longest(sf_dir: str):
         return pa.table({"doc_id": b.column("doc_id"), "n_chars": b.column("n_chars")})
 
     # deterministic top-k: sort by (n_chars desc, doc_id asc)
-    def neg(b: pa.Table) -> pa.Table:
-        return b.append_column("_neg", pc.negate(b.column("n_chars")))
-
     return (
         ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(neg, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["_neg", "doc_id"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
         .limit(10)
-        .map_batches(lambda b: b.drop_columns(["_neg"]), batch_format="pyarrow", zero_copy_batch=True)
     )
 
 

@@ -51,11 +51,17 @@ class SimHashConfig:
 
     hash_field: str = "phash"
     id_field: str = "_id"
+    hash_bits: int = 64  # width of the hash column (chunks span hash_bits/num_chunks bits)
     num_chunks: int = 4  # 4 x 16-bit chunks -> catches Hamming distance <= 3 fully
     hamming_threshold: int = 4  # verified pairwise inside each candidate bucket
     # single-chunk bands guarantee recall at Hamming < num_chunks but are hot
     # keys at 10^12 rows; chunk-pair bands (always on) have 2^32 key space.
     use_single_chunk_bands: bool = True
+    # all-pairs Hamming verification is O(m^2) per bucket; buckets with more
+    # than verify_cap distinct hash values fall back to multi-pivot
+    # verification (members vs ~16 sorted pivots — logged, recall < 1 for
+    # pairs whose distance to every pivot exceeds the threshold)
+    verify_cap: int = 512
 
 
 @dataclass(frozen=True)
@@ -69,3 +75,13 @@ class SemanticDedupConfig:
     kmeans_sample_size: int = 100_000
     seed: int = 42
     pairwise_batch_size: int = 1024
+    # "sample" fits k-means on a random driver-side sample; "distributed"
+    # runs full Lloyd iterations over the whole Dataset (combiner map_batches
+    # per round — the CPU counterpart of the reference's RAFT k-means)
+    fit_mode: str = "sample"
+    # clusters larger than this are re-clustered once with a per-cluster
+    # sub-k-means before the pairwise stage, bounding per-task memory in
+    # ``groupby(cluster).map_groups`` (the reference ships whole clusters to
+    # 80 GB GPUs instead); near-identical rows share a nearest sub-centroid,
+    # so near-dup recall loss is confined to sub-cluster boundaries
+    max_cluster_size: int = 200_000

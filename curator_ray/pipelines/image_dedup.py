@@ -41,6 +41,11 @@ from ..state.manifest import CheckpointManifest, fingerprint
 
 EDGES_EMPTY = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
 
+# removal lists up to this size are driver-collected and broadcast via
+# ray.put (8 bytes/id -> ~80 MB at the cap); larger lists switch to the
+# distributed hash anti-join automatically
+REMOVAL_BROADCAST_MAX = 10_000_000
+
 
 def _checkpointed(manifest: CheckpointManifest | None, stage: str, part: str, fp: str, out_dir: str, build):
     """Run ``build() -> Dataset`` and persist to ``out_dir`` unless the
@@ -105,6 +110,7 @@ def image_dedup_workflow(
         )
     cache_dir = cache_dir or os.path.join(output_path, "_cache")
     manifest = CheckpointManifest(os.path.join(output_path, "_checkpoints"))
+    touched: list[tuple[str, str]] = []  # (stage, partition) entries of THIS run
 
     sig_cols = ["image_id", "caption", "phash"]
     sigs = with_ids(ray.data.read_parquet(input_path, columns=sig_cols), key_field="image_id")
@@ -112,6 +118,7 @@ def image_dedup_workflow(
     # -- minhash cache (consumed twice by LSH) ------------------------------
     mh_fp = fingerprint(input_path, fuzzy)
     mh_dir = os.path.join(cache_dir, "minhash")
+    touched.append(("minhash", "all"))
     sig_ds = _checkpointed(
         manifest,
         "minhash",
@@ -127,6 +134,7 @@ def image_dedup_workflow(
     for start in range(0, fuzzy.num_bands, step):
         rng = range(start, min(start + step, fuzzy.num_bands))
         part = f"bands_{rng.start}_{rng.stop}"
+        touched.append(("lsh_edges", part))
         edge_sets.append(
             _checkpointed(
                 manifest,
@@ -137,6 +145,7 @@ def image_dedup_workflow(
                 lambda rng=rng: lsh_candidate_edges(sig_ds, fuzzy, band_range=rng),
             )
         )
+    touched.append(("simhash_edges", "all"))
     edge_sets.append(
         _checkpointed(
             manifest,
@@ -148,6 +157,7 @@ def image_dedup_workflow(
         )
     )
     if use_substring:
+        touched.append(("substring_edges", "all"))
         edge_sets.append(
             _checkpointed(
                 manifest,
@@ -171,6 +181,7 @@ def image_dedup_workflow(
         labels = connected_components(edges, fuzzy)
         return removal_ids(labels)
 
+    touched.append(("removal_ids", "all"))
     removal = _checkpointed(manifest, "removal_ids", "all", rm_fp, rm_dir, _build_removal)
     n_dups = removal.count()
 
@@ -180,10 +191,11 @@ def image_dedup_workflow(
         surv_dir = os.path.join(output_path, "survivors")
         full = with_ids(ray.data.read_parquet(input_path), key_field="image_id")
         surv_fp = fingerprint(rm_fp, "survivors")
+        touched.append(("survivors", "all"))
         if not manifest.is_complete("survivors", "all", surv_fp):
             import shutil
 
-            survivors = remove_by_ids(full, removal, id_field=fuzzy.id_field)
+            survivors = _remove(full, removal, n_dups, fuzzy.id_field)
             shutil.rmtree(surv_dir, ignore_errors=True)
             os.makedirs(surv_dir, exist_ok=True)
             survivors.drop_columns([fuzzy.id_field]).write_parquet(surv_dir)
@@ -191,9 +203,18 @@ def image_dedup_workflow(
 
             n_surv = _ray.data.read_parquet(surv_dir).count()
             manifest.record("survivors", "all", surv_fp, counters={"survivors": n_surv})
-        counters["survivors"] = manifest.counters().get("survivors", 0)
-    counters.update(manifest.counters())
+        counters["survivors"] = manifest.counters(touched).get("survivors", 0)
+    counters.update(manifest.counters(touched))
     return counters
+
+
+def _remove(full, removal, n_removal: int, id_field: str):
+    """Anti-join, broadcast vs distributed chosen by removal-list size."""
+    if n_removal <= REMOVAL_BROADCAST_MAX:
+        return remove_by_ids(full, removal, id_field=id_field)
+    from ..stages.removal import remove_by_ids_join
+
+    return remove_by_ids_join(full, removal, id_field=id_field)
 
 
 def _streaming_workflow(
@@ -228,11 +249,11 @@ def _streaming_workflow(
         surv_dir = os.path.join(output_path, "survivors")
         import shutil
 
-        from ..stages.removal import remove_by_ids
-
         shutil.rmtree(surv_dir, ignore_errors=True)
         os.makedirs(surv_dir, exist_ok=True)
         full = with_ids(ray.data.read_parquet(input_path), key_field="image_id")
-        remove_by_ids(full, removal, id_field=fuzzy.id_field).drop_columns([fuzzy.id_field]).write_parquet(surv_dir)
+        _remove(full, removal, counters["num_duplicates"], fuzzy.id_field).drop_columns(
+            [fuzzy.id_field]
+        ).write_parquet(surv_dir)
         counters["survivors"] = ray.data.read_parquet(surv_dir).count()
     return counters

@@ -124,21 +124,21 @@ def ivf_topk(
     import ray
 
     from ..config import SemanticDedupConfig
-    from .semantic import kmeans_fit
+    from .semantic import kmeans_fit, sample_embeddings
 
-    parts = [
-        _emb_matrix(pa.table(b), embedding_field)
-        for b in ds.limit(sample_size).iter_batches(batch_format="pyarrow")
-    ]
-    sample = np.concatenate([p for p in parts if len(p)])
+    # normalize BEFORE the fit so cell assignment and probing share the same
+    # cosine geometry (L2 on the unit sphere is monotone in cosine); fitting
+    # on raw vectors while probing normalized centroids misroutes vectors
+    # with non-uniform norms. Random sample, not first-blocks (bias on
+    # sorted/clustered input).
+    sample = _normalize(sample_embeddings(ds, embedding_field, sample_size, seed))
     cfg = SemanticDedupConfig(n_clusters=n_clusters, seed=seed, kmeans_sample_size=sample_size)
-    centroids = kmeans_fit(sample, cfg)
-    cn = _normalize(centroids)
+    cn = _normalize(kmeans_fit(sample, cfg))
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qn @ cn.T), axis=1)[:, : min(nprobe, len(cn))]  # (nq, nprobe)
     q_ref = ray.put(qn)
-    c_ref = ray.put(centroids)
+    c_ref = ray.put(cn)
     p_ref = ray.put(probe)
 
     def local(batch: pa.Table) -> pa.Table:
@@ -151,13 +151,8 @@ def ivf_topk(
             return pa.table(
                 {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
             )
-        d = (
-            (emb * emb).sum(axis=1, keepdims=True)
-            + (cents * cents).sum(axis=1)[None, :]
-            - 2.0 * (emb @ cents.T)
-        )
-        cell = d.argmin(axis=1)
         en = _normalize(emb)
+        cell = (en @ cents.T).argmax(axis=1)  # cosine cell assignment
         out_q, out_v, out_s = [], [], []
         for qi in range(len(q)):
             cand = np.isin(cell, pr[qi])

@@ -26,11 +26,15 @@ reduces to a stateless filter here.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import FuzzyDedupConfig
+
+logger = logging.getLogger(__name__)
 
 LABELS_SCHEMA = pa.schema([("v", pa.int64()), ("group", pa.int64())])
 
@@ -190,11 +194,16 @@ def sorted_group_min(ds, key: str, val: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    boundary = pa.concat_tables(
-        [
-            pa.table(b).filter(pc.equal(pa.table(b).column("partial"), 1))
-            for b in scanned.iter_batches(batch_format="pyarrow")
-        ]
+    # filter DISTRIBUTED, collect only the ~2-rows-per-block remainder — an
+    # iter_batches scan here would ship the full distinct-key volume through
+    # the driver every call (the dominant serial cost at 8-vs-32-cpu scaling)
+    boundary = _collect_small(
+        scanned.map_batches(
+            lambda b: b.filter(pc.equal(b.column("partial"), 1)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        [key, val],
     )
     bk = boundary.column(key).to_numpy()
     bv = boundary.column(val).to_numpy()
@@ -208,6 +217,15 @@ def sorted_group_min(ds, key: str, val: str):
         }
     )
     return interior.union(ray.data.from_arrow(merged))
+
+
+def _collect_small(ds, cols: list[str]) -> pa.Table:
+    """Driver-collect an already-small Dataset (boundary rows, partials)."""
+    parts = [pa.table(b).select(cols) for b in ds.iter_batches(batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    return pa.concat_tables(parts)
 
 
 def _scan_propagate(batch: pa.Table) -> pa.Table:
@@ -296,6 +314,7 @@ def _hashmin_distributed(edges, cfg: FuzzyDedupConfig):
     ).materialize()
     prev_sum = _labels_checksum(labels)
 
+    converged = False
     for _ in range(cfg.cc_max_iterations):
         tagged = labels.map_batches(_tag_labels, batch_format="pyarrow", zero_copy_batch=True).union(
             tagged_edges
@@ -310,20 +329,35 @@ def _hashmin_distributed(edges, cfg: FuzzyDedupConfig):
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        # boundary passthrough rows: resolve on the driver
-        btbls = []
-        for b in scanned.iter_batches(batch_format="pyarrow"):
-            t = pa.table(b).filter(pc.is_valid(pa.table(b).column("k")))
-            if t.num_rows:
-                btbls.append(t.select(["k", "payload", "kind"]))
-        boundary_msgs = _resolve_boundary_runs(btbls)
+        # boundary passthrough rows: filter distributed (never stream the
+        # full message volume through the driver), resolve the small rest here
+        bt = _collect_small(
+            scanned.map_batches(
+                lambda b: b.filter(pc.is_valid(b.column("k"))),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["k", "payload", "kind"],
+        )
+        boundary_msgs = _resolve_boundary_runs([bt] if bt.num_rows else [])
         labels = sorted_group_min(
             msgs.union(ray.data.from_arrow(boundary_msgs)), "v", "group"
         ).materialize()
         new_sum = _labels_checksum(labels)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # a component whose diameter exceeds the round cap would otherwise get
+        # silently non-minimal labels (multiple survivors per cluster) — make
+        # the under-removal visible instead of shipping it quietly
+        logger.warning(
+            "connected components did not converge within cc_max_iterations=%d "
+            "rounds; some duplicate clusters may carry non-minimal labels "
+            "(under-removal). Raise cc_max_iterations for graphs with long chains.",
+            cfg.cc_max_iterations,
+        )
     return labels
 
 
@@ -333,10 +367,21 @@ def _labels_checksum(labels) -> int:
     Labels only ever decrease, so the checksum changes iff any label changed
     (a wrapped collision would need the total decrease to be an exact multiple
     of 2^64). ``Dataset.sum`` is unusable here: a Python-int sum of hash-range
-    int64 ids overflows Arrow int64 and crashes the reduce."""
+    int64 ids overflows Arrow int64 and crashes the reduce. Partial checksums
+    are computed per block in workers (one 8-byte row each) so the driver
+    never streams the label table."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("group").to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            s = int(col.sum(dtype=np.uint64))
+        return pa.table({"csum": pa.array([s - (1 << 64) if s >= (1 << 63) else s], pa.int64())})
+
     total = np.uint64(0)
-    for b in labels.iter_batches(batch_format="pyarrow"):
-        col = pa.table(b).column("group").to_numpy().view(np.uint64)
+    for b in labels.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_format="pyarrow"
+    ):
+        col = pa.table(b).column("csum").to_numpy().view(np.uint64)
         with np.errstate(over="ignore"):
             total += col.sum(dtype=np.uint64)
     return int(total)

@@ -57,7 +57,13 @@ class DecodeStage:
             arr = decode_image(blob, fmt)
             pixels.append(arr.ravel())
             ph.append(phash64(arr) if self.verify_phash else 0)
-        out = batch.append_column("pixels", pa.array([p.tolist() for p in pixels], pa.list_(pa.uint8())))
+        # one flat uint8 buffer + offsets -> ListArray: no Python-int boxing
+        # of pixels (a .tolist() here costs ~28 bytes/pixel and dominates)
+        flat = np.concatenate(pixels) if pixels else np.zeros(0, np.uint8)
+        offsets = np.zeros(len(pixels) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in pixels], out=offsets[1:])
+        col = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), pa.array(flat, pa.uint8()))
+        out = batch.append_column("pixels", col)
         if self.verify_phash:
             out = out.append_column("phash_recomputed", pa.array(ph, pa.int64()))
         return out

@@ -93,7 +93,12 @@ def _local_bands_batch(
             }
         )
     his, los = band_hashes(sig, band_range, cfg.minhashes_per_band)
-    flat_hi = his.T.ravel()  # band-major so runs never span bands
+    # Band-major flattening, but _bucket_runs lexsorts ALL bands together:
+    # bucket separation across bands relies on the per-band seed in
+    # band_hashes making cross-band 128-bit key collisions negligible
+    # (2^-128 per pair), NOT on layout. If the key ever narrows below 128
+    # bits, add the band id to the run key.
+    flat_hi = his.T.ravel()
     flat_lo = los.T.ravel()
     flat_id = np.tile(ids, nb)
     order, run_starts = _bucket_runs(flat_hi, flat_lo)
@@ -139,35 +144,6 @@ def _global_star(group: pa.Table) -> pa.Table:
         return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
     m = uniq[0]
     return pa.table({"src": pa.array(np.full(len(uniq) - 1, m), pa.int64()), "dst": pa.array(uniq[1:], pa.int64())})
-
-
-def _collect_dup_buckets(agg, max_rows: int) -> "pa.Table":
-    """Driver-collect the (bucket -> min rep) table of buckets represented in
-    >= 2 blocks, guarding against oversized broadcasts."""
-    import pyarrow.compute as pc
-
-    parts = []
-    total = 0
-    for b in agg.iter_batches(batch_format="pyarrow"):
-        t = pa.table(b)
-        t = t.filter(pc.greater_equal(t.column("count()"), 2))
-        total += t.num_rows
-        if total > max_rows:
-            raise RuntimeError(
-                f"duplicated-bucket table exceeds {max_rows} rows; "
-                "use global_bucket_mode='groupby' for this dataset"
-            )
-        parts.append(t)
-    if not parts:
-        return pa.table(
-            {
-                "bucket_hi": pa.array([], pa.int64()),
-                "bucket_lo": pa.array([], pa.int64()),
-                "count()": pa.array([], pa.int64()),
-                "min(rep)": pa.array([], pa.int64()),
-            }
-        )
-    return pa.concat_tables(parts)
 
 
 class _BroadcastStarEmitter:

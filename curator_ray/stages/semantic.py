@@ -41,6 +41,26 @@ def _emb_matrix(batch: pa.Table, field: str) -> np.ndarray:
     return col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), dim).astype(np.float64)
 
 
+def sample_embeddings(ds, field: str, n: int, seed: int) -> np.ndarray:
+    """Random driver-side sample of ~n embedding rows.
+
+    ``ds.limit(n)`` takes the FIRST blocks — on sorted/clustered input the
+    sample (and therefore the k-means centroids) would be skewed, so sample
+    uniformly via ``random_sample`` (the reference's ``fit_data_fraction``
+    file sampling, ``semantic/kmeans.py:92,112-115``)."""
+    total = ds.count()
+    if total == 0:
+        return np.zeros((0, 1))
+    frac = min(1.0, (1.25 * n) / total)  # slight over-draw, then cap at n
+    sampled = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+    parts = [
+        _emb_matrix(pa.table(b), field)
+        for b in sampled.limit(n).iter_batches(batch_format="pyarrow")
+    ]
+    parts = [p for p in parts if len(p)]
+    return np.concatenate(parts) if parts else np.zeros((0, 1))
+
+
 def kmeans_fit(sample: np.ndarray, cfg: SemanticDedupConfig) -> np.ndarray:
     """Lloyd's k-means (k-means++ seeding) -> (k, dim) centroids."""
     rng = np.random.RandomState(cfg.seed)
@@ -85,11 +105,7 @@ def kmeans_fit_distributed(ds, cfg: SemanticDedupConfig, init_centroids: np.ndar
     import ray
 
     if init_centroids is None:
-        parts = [
-            _emb_matrix(pa.table(b), cfg.embedding_field)
-            for b in ds.limit(cfg.kmeans_sample_size).iter_batches(batch_format="pyarrow")
-        ]
-        sample = np.concatenate([p for p in parts if len(p)])
+        sample = sample_embeddings(ds, cfg.embedding_field, cfg.kmeans_sample_size, cfg.seed)
         small = SemanticDedupConfig(
             n_clusters=cfg.n_clusters, seed=cfg.seed, kmeans_max_iters=1, kmeans_sample_size=cfg.kmeans_sample_size
         )
@@ -201,23 +217,113 @@ def _pairwise_group(group: pa.Table, *, cfg: SemanticDedupConfig) -> pa.Table:
     return pa.table({"id": pa.array(ids, pa.int64()), "cosine_sim_score": pa.array(scores, pa.float64())})
 
 
+def split_oversized_clusters(assigned, cfg: SemanticDedupConfig):
+    """Re-cluster clusters above ``cfg.max_cluster_size`` once with a
+    per-cluster sub-k-means so no single ``map_groups`` task holds an
+    unbounded group (the reference's ``break_parquet_partition_into_groups``
+    solves the same problem for its 2^31-row cudf limit; here the bound is
+    worker heap). Two extra passes total, independent of how many clusters
+    are oversized."""
+    import ray
+
+    assigned = assigned.materialize()
+    sizes = {
+        int(r["centroid_id"]): int(r["count()"])
+        for r in assigned.groupby("centroid_id").count().take_all()
+    }
+    oversized = {cid: n for cid, n in sizes.items() if n > cfg.max_cluster_size}
+    if not oversized:
+        return assigned
+    next_id = max(sizes) + 1
+
+    # one filtered random-sample pass over all oversized clusters at once
+    over_set = set(oversized)
+    total_over = sum(oversized.values())
+    want = sum(min(50 * -(-n // cfg.max_cluster_size), n) for n in oversized.values())
+    frac = min(1.0, (1.25 * want) / total_over)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        cid = batch.column("centroid_id").to_numpy()
+        mask = np.isin(cid, np.fromiter(over_set, dtype=np.int64))
+        return batch.filter(pa.array(mask)).select(["centroid_id", cfg.embedding_field])
+
+    sampled = assigned.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    if frac < 1.0:
+        sampled = sampled.random_sample(frac, seed=cfg.seed)
+    by_cid: dict[int, list[np.ndarray]] = {}
+    for b in sampled.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        cid = t.column("centroid_id").to_numpy()
+        emb = _emb_matrix(t, cfg.embedding_field)
+        for c in np.unique(cid):
+            by_cid.setdefault(int(c), []).append(emb[cid == c])
+
+    # per-oversized-cluster sub-k-means on the driver; sub-cluster ids are
+    # allocated after the existing id range so untouched clusters keep theirs
+    sub: dict[int, tuple[np.ndarray, int]] = {}
+    for cid, n in oversized.items():
+        pts = np.concatenate(by_cid.get(cid, [np.zeros((0, 1))]))
+        k_sub = -(-n // cfg.max_cluster_size)
+        if len(pts) < 2 or k_sub < 2:
+            continue
+        sub_cfg = SemanticDedupConfig(n_clusters=k_sub, seed=cfg.seed, kmeans_max_iters=10)
+        sub[cid] = (kmeans_fit(pts, sub_cfg), next_id)
+        next_id += k_sub
+    if not sub:
+        return assigned
+    ref = ray.put(sub)
+
+    def reassign(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        cid = batch.column("centroid_id").to_numpy().copy()
+        cos = batch.column("cosine_dist_to_cent").to_numpy().copy()
+        l2 = batch.column("l2_dist_to_cent").to_numpy().copy()
+        emb = None
+        for c, (cents, base) in table.items():
+            rows = np.flatnonzero(cid == c)
+            if not len(rows):
+                continue
+            if emb is None:
+                emb = _emb_matrix(batch, cfg.embedding_field)
+            e = emb[rows]
+            d = (
+                (e * e).sum(axis=1, keepdims=True)
+                + (cents * cents).sum(axis=1)[None, :]
+                - 2.0 * (e @ cents.T)
+            )
+            np.maximum(d, 0.0, out=d)
+            a = d.argmin(axis=1)
+            cid[rows] = base + a
+            l2[rows] = np.sqrt(d[np.arange(len(rows)), a])
+            cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+            en = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+            cos[rows] = 1.0 - (en * cn[a]).sum(axis=1)
+        names = batch.column_names
+        out = batch.set_column(names.index("centroid_id"), "centroid_id", pa.array(cid, pa.int64()))
+        out = out.set_column(names.index("l2_dist_to_cent"), "l2_dist_to_cent", pa.array(l2, pa.float64()))
+        return out.set_column(
+            names.index("cosine_dist_to_cent"), "cosine_dist_to_cent", pa.array(cos, pa.float64())
+        )
+
+    return assigned.map_batches(reassign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def semantic_duplicate_ids(ds, cfg: SemanticDedupConfig):
     """Dataset with (id_field, embedding_field) -> sorted removal-id Dataset.
 
     Also returns the scored Dataset for inspection: (removal, scored).
     """
     import pyarrow.compute as pc
-    import ray
 
-    sample_ds = ds.limit(cfg.kmeans_sample_size)
-    parts = [
-        _emb_matrix(pa.table(b), cfg.embedding_field)
-        for b in sample_ds.iter_batches(batch_format="pyarrow")
-    ]
-    sample = np.concatenate([p for p in parts if len(p)]) if parts else np.zeros((0, 1))
-    centroids = kmeans_fit(sample, cfg)
+    if cfg.fit_mode == "distributed":
+        centroids = kmeans_fit_distributed(ds, cfg)
+    else:
+        sample = sample_embeddings(ds, cfg.embedding_field, cfg.kmeans_sample_size, cfg.seed)
+        centroids = kmeans_fit(sample, cfg)
 
     assigned = kmeans_assign(ds, centroids, cfg)
+    if cfg.max_cluster_size:
+        assigned = split_oversized_clusters(assigned, cfg)
     scored = assigned.groupby("centroid_id").map_groups(
         functools.partial(_pairwise_group, cfg=cfg), batch_format="pyarrow"
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -34,12 +35,14 @@ import pyarrow as pa
 from ..config import SimHashConfig
 from ..functions.phash import popcount64
 
+logger = logging.getLogger(__name__)
+
 
 def _band_keys(ph: np.ndarray, cfg: SimHashConfig) -> list[tuple[int, np.ndarray]]:
     """[(band_id, key array uint64)] for each configured band."""
     u = ph.view(np.uint64) if ph.dtype == np.int64 else ph.astype(np.uint64)
     nc = cfg.num_chunks
-    width = 64 // nc
+    width = cfg.hash_bits // nc
     mask = np.uint64((1 << width) - 1)
     chunks = [(u >> np.uint64(i * width)) & mask for i in range(nc)]
     bands: list[tuple[int, np.ndarray]] = []
@@ -56,15 +59,34 @@ def _band_keys(ph: np.ndarray, cfg: SimHashConfig) -> list[tuple[int, np.ndarray
 
 def _verified_edges(ids: np.ndarray, ph: np.ndarray, threshold: int, cap: int = 512) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs Hamming verification within one candidate set (ids unique,
-    pHashes distinct). Falls back to verify-vs-first beyond ``cap`` members."""
+    pHashes distinct). Beyond ``cap`` members, falls back to multi-pivot
+    verification: every member is checked against ~16 pivots spread through
+    the value-sorted set (logged; pairs far from every pivot are missed)."""
     m = len(ids)
     if m < 2:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     u = ph.view(np.uint64) if ph.dtype == np.int64 else ph.astype(np.uint64)
     if m > cap:
-        d = popcount64(u ^ u[0])
-        hit = np.flatnonzero((d <= threshold) & (np.arange(m) != 0))
-        return np.full(len(hit), ids[0]), ids[hit]
+        logger.warning(
+            "simhash bucket with %d distinct values exceeds verify_cap=%d; "
+            "falling back to multi-pivot verification (possible recall loss)",
+            m,
+            cap,
+        )
+        order = np.argsort(u)
+        pivots = order[:: max(1, m // 16)][:16]
+        srcs, dsts = [], []
+        for p in pivots:
+            d = popcount64(u ^ u[p])
+            hit = np.flatnonzero((d <= threshold) & (np.arange(m) != p))
+            srcs.append(np.full(len(hit), ids[p]))
+            dsts.append(ids[hit])
+        a = np.concatenate(srcs)
+        b = np.concatenate(dsts)
+        if len(a):
+            pairs = np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)], axis=1), axis=0)
+            return pairs[:, 0], pairs[:, 1]
+        return a, b
     xor = u[:, None] ^ u[None, :]
     d = popcount64(xor.ravel()).reshape(m, m)
     iu, ju = np.triu_indices(m, k=1)
@@ -111,7 +133,7 @@ def _local_simhash(batch: pa.Table, *, cfg: SimHashConfig, emit: str) -> pa.Tabl
         # only multi-member runs need pairwise verification (rare)
         for r in np.flatnonzero(sizes >= 2):
             s, e = starts[r], ends[r]
-            a, b = _verified_edges(kid[s:e], kph[s:e], cfg.hamming_threshold)
+            a, b = _verified_edges(kid[s:e], kph[s:e], cfg.hamming_threshold, cfg.verify_cap)
             srcs.append(a)
             dsts.append(b)
 
@@ -137,27 +159,6 @@ def _local_simhash(batch: pa.Table, *, cfg: SimHashConfig, emit: str) -> pa.Tabl
                 (np.concatenate(rep_ph) if rep_ph else np.zeros(0)).astype(np.int64).view(np.int64), pa.int64()
             ),
             "rid": pa.array(np.concatenate(rep_id) if rep_id else np.zeros(0, np.int64), pa.int64()),
-        }
-    )
-
-
-def _global_verify(group: pa.Table, *, threshold: int) -> pa.Table:
-    ph = group.column("phash").to_numpy()
-    ids = group.column("rid").to_numpy()
-    # across batches the same pHash value may repeat: dedup, star the ties
-    order = np.argsort(ph, kind="stable")
-    sph, sid = ph[order], ids[order]
-    starts = np.flatnonzero(np.concatenate([[True], sph[1:] != sph[:-1]]))
-    run_min = np.minimum.reduceat(sid, starts)
-    sizes = np.diff(np.append(starts, len(sid)))
-    member_src = np.repeat(run_min, sizes)
-    mask = sid != member_src
-    tie_src, tie_dst = member_src[mask], sid[mask]
-    a, b = _verified_edges(run_min, sph[starts], threshold)
-    return pa.table(
-        {
-            "src": pa.array(np.concatenate([tie_src, a]), pa.int64()),
-            "dst": pa.array(np.concatenate([tie_dst, b]), pa.int64()),
         }
     )
 
@@ -225,7 +226,7 @@ def simhash_candidate_edges(ds, cfg: SimHashConfig, max_broadcast: int = 20_000_
     scanned = (
         members.sort(["band", "key"])
         .map_batches(
-            functools.partial(_scan_verify_blocks, threshold=cfg.hamming_threshold),
+            functools.partial(_scan_verify_blocks, threshold=cfg.hamming_threshold, cap=cfg.verify_cap),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -238,16 +239,24 @@ def simhash_candidate_edges(ds, cfg: SimHashConfig, max_broadcast: int = 20_000_
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    btbls = []
-    for b in scanned.iter_batches(batch_format="pyarrow"):
-        t = pa.table(b).filter(pc.is_valid(pa.table(b).column("band")))
-        if t.num_rows:
-            btbls.append(t.select(["band", "key", "phash", "rid"]))
-    boundary_edges = _verify_boundary(btbls, cfg.hamming_threshold)
+    # boundary rows: filter distributed, collect only the ~2-runs-per-block
+    # remainder (streaming the full verified-edge volume through the driver
+    # here was a measured serial-scaling cost)
+    from .cc import _collect_small
+
+    bt = _collect_small(
+        scanned.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column("band"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["band", "key", "phash", "rid"],
+    )
+    boundary_edges = _verify_boundary([bt] if bt.num_rows else [], cfg.hamming_threshold, cfg.verify_cap)
     return local.union(global_edges).union(ray.data.from_arrow(boundary_edges))
 
 
-def _scan_verify_blocks(batch: pa.Table, *, threshold: int) -> pa.Table:
+def _scan_verify_blocks(batch: pa.Table, *, threshold: int, cap: int = 512) -> pa.Table:
     """Per sorted block: verify interior (band, key) runs; pass boundary runs
     through (null-padded union table, same trick as cc._scan_propagate)."""
     n = len(batch)
@@ -277,7 +286,7 @@ def _scan_verify_blocks(batch: pa.Table, *, threshold: int) -> pa.Table:
     srcs, dsts = [], []
     for r in np.flatnonzero(~boundary):
         s, e = starts[r], ends[r]
-        a, b = _group_verify_arrays(ph[s:e], rid[s:e], threshold)
+        a, b = _group_verify_arrays(ph[s:e], rid[s:e], threshold, cap)
         srcs.append(a)
         dsts.append(b)
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
@@ -309,9 +318,9 @@ def _scan_verify_blocks(batch: pa.Table, *, threshold: int) -> pa.Table:
     return pa.concat_tables([msgs_t, pass_t])
 
 
-def _group_verify_arrays(ph: np.ndarray, rid: np.ndarray, threshold: int) -> tuple[np.ndarray, np.ndarray]:
+def _group_verify_arrays(ph: np.ndarray, rid: np.ndarray, threshold: int, cap: int = 512) -> tuple[np.ndarray, np.ndarray]:
     """One bucket's members -> verified edges (dedup identical pHash + star,
-    then pairwise Hamming among distinct values) — _global_verify's kernel."""
+    then pairwise Hamming among distinct values)."""
     order = np.argsort(ph, kind="stable")
     sph, sid = ph[order], rid[order]
     starts = np.flatnonzero(np.concatenate([[True], sph[1:] != sph[:-1]]))
@@ -319,11 +328,11 @@ def _group_verify_arrays(ph: np.ndarray, rid: np.ndarray, threshold: int) -> tup
     sizes = np.diff(np.append(starts, len(sid)))
     member_src = np.repeat(run_min, sizes)
     mask = sid != member_src
-    a, b = _verified_edges(run_min, sph[starts], threshold)
+    a, b = _verified_edges(run_min, sph[starts], threshold, cap)
     return np.concatenate([member_src[mask], a]), np.concatenate([sid[mask], b])
 
 
-def _verify_boundary(btbls: list[pa.Table], threshold: int) -> pa.Table:
+def _verify_boundary(btbls: list[pa.Table], threshold: int, cap: int = 512) -> pa.Table:
     """Driver-side verification of runs that crossed sorted-block boundaries."""
     if not btbls:
         return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
@@ -338,7 +347,7 @@ def _verify_boundary(btbls: list[pa.Table], threshold: int) -> pa.Table:
     ends = np.append(starts[1:], len(band))
     srcs, dsts = [], []
     for s, e in zip(starts, ends):
-        a, b = _group_verify_arrays(ph[s:e], rid[s:e], threshold)
+        a, b = _group_verify_arrays(ph[s:e], rid[s:e], threshold, cap)
         srcs.append(a)
         dsts.append(b)
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)

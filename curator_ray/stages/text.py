@@ -20,8 +20,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.winnow import doc_fingerprints
-
 # ----------------------------------------------------------------- scorers
 
 _WORD_SPLIT = r"\s+"
@@ -322,16 +320,20 @@ def repeated_paragraphs_ratio(arr) -> pa.Array:
 
 
 def fingerprint_stage(ds, text_field: str, fp_len: int = 16, winnow_window: int = 4, out_field: str = "fingerprint"):
-    """Rolling-hash document fingerprint (min winnowed fp as int64)."""
+    """Rolling-hash document fingerprint (min winnowed fp as int64).
+
+    One vectorized ``batch_fingerprints`` pass over the whole batch (same
+    selection as per-doc ``doc_fingerprints``) + a ``np.minimum.reduceat``
+    over doc boundaries — no Python loop over rows."""
+    from ..functions.winnow import batch_fingerprints
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_field).to_pylist()
-        fps = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            f = doc_fingerprints(t or "", fp_len, winnow_window)
-            v = int(f.min()) if len(f) else 0
-            fps[i] = v - (1 << 64) if v >= (1 << 63) else v
-        return batch.append_column(out_field, pa.array(fps, pa.int64()))
+        fps, doc_idx = batch_fingerprints(batch.column(text_field), fp_len, winnow_window)
+        out = np.zeros(len(batch), dtype=np.uint64)
+        if len(fps):
+            starts = np.flatnonzero(np.concatenate([[True], doc_idx[1:] != doc_idx[:-1]]))
+            out[doc_idx[starts]] = np.minimum.reduceat(fps, starts)  # min over uint64
+        return batch.append_column(out_field, pa.array(out.view(np.int64), pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -74,9 +74,16 @@ class CheckpointManifest:
                     continue
         return out
 
-    def counters(self) -> dict:
+    def counters(self, touched: list[tuple[str, str]] | None = None) -> dict:
+        """Aggregate counters; with ``touched`` = [(stage, partition), ...],
+        only those entries count — stale entries from earlier runs with
+        different configs (e.g. leftover band partitions after num_bands
+        shrinks) would otherwise inflate the totals."""
+        want = {tuple(t) for t in touched} if touched is not None else None
         agg: dict = {}
         for e in self.entries():
+            if want is not None and (e.get("stage"), e.get("partition")) not in want:
+                continue
             for k, v in (e.get("counters") or {}).items():
                 agg[k] = agg.get(k, 0) + v
         return agg
