@@ -337,6 +337,16 @@ def q_image_dedup_survivors(sf_dir: str):
 
 
 def q_semantic_dedup(sf_dir: str):
+    """Semantic dedup over the embeddings table with planted near-duplicates.
+
+    The raw random embeddings contain no pair within the cosine threshold, so
+    running over them alone is a vacuous test; 20 deterministic near-copies
+    (new ids past the max) are unioned in so the query discriminates — a
+    broken pairwise stage returns 0 rows, a working one removes ~one of each
+    planted pair."""
+    import pyarrow.parquet as pq
+    import ray
+
     from curator_ray.config import SemanticDedupConfig
     from curator_ray.stages.semantic import semantic_duplicate_ids
 
@@ -348,7 +358,22 @@ def q_semantic_dedup(sf_dir: str):
         .select_columns(["vec_id", "embedding"])
         .map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
     )
-    removal, _ = semantic_duplicate_ids(ds, SemanticDedupConfig(n_clusters=20, eps=0.05))
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    order = pc.sort_indices(tbl.column("vec_id"))
+    base = tbl.take(order[:20])
+    emb = np.array(base.column("embedding").to_pylist(), dtype=np.float64)
+    rng = np.random.RandomState(7)
+    near = emb + 0.001 * rng.normal(size=emb.shape)
+    max_id = int(pc.max(tbl.column("vec_id")).as_py())
+    elem_type = tbl.schema.field("embedding").type.value_type
+    planted = pa.table(
+        {
+            "_id": pa.array(max_id + 1 + np.arange(len(near)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in near], pa.list_(elem_type)),
+        }
+    )
+    full = ds.union(ray.data.from_arrow(planted))
+    removal, _ = semantic_duplicate_ids(full, SemanticDedupConfig(n_clusters=20, eps=0.05))
     return _collect(removal)
 
 
@@ -401,6 +426,39 @@ def q_lang_id(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_simhash_docs(sf_dir: str):
+    """Full simhash pipeline over the documents table, hash-checkable in SQL:
+    24-bit letter-parity signature -> chunk banding (exhaustive for Hamming
+    <= 3 by pigeonhole: 4 chunks, threshold 3) -> Hamming verification ->
+    connected components -> sorted removal ids. The DuckDB oracle recomputes
+    the signature, joins all pairs with bit_count(xor) <= 3 and closes them
+    with a recursive CTE, so banding + verification + CC are all value-checked."""
+    from curator_ray.config import FuzzyDedupConfig, SimHashConfig
+    from curator_ray.stages.cc import connected_components, removal_ids
+    from curator_ray.stages.simhash import simhash_candidate_edges
+    from curator_ray.stages.text import letter_parity_signature
+
+    def sig(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "sig": letter_parity_signature(b.column("text"))}
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    # verify_cap sized for all-pairs verification even when a 6-bit chunk
+    # value is hot (distinct 24-bit sigs per bucket can exceed 512 at sf0.1)
+    cfg = SimHashConfig(
+        hash_field="sig", id_field="doc_id", hash_bits=24, num_chunks=4,
+        hamming_threshold=3, verify_cap=8192,
+    )
+    edges = simhash_candidate_edges(ds, cfg)
+    return _collect(removal_ids(connected_components(edges, FuzzyDedupConfig())))
+
+
 def q_fingerprint(sf_dir: str):
     from curator_ray.stages.text import fingerprint_stage
 
@@ -449,8 +507,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "image_semantic_dedup": q_image_semantic_dedup,
         "fingerprint": q_fingerprint,
+        "simhash_docs": q_simhash_docs,
     }
 
+
+_PARITY_TERMS = " + ".join(
+    f"(((length(text) - length(replace(text, '{ch}', ''))) % 2) * {1 << i})"
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwx")
+)
+
+# full value-check of the simhash pipeline: signature parity, all Hamming<=3
+# pairs via bit_count(xor), transitive closure via recursive CTE, keep-min
+_SIMHASH_DOCS_SQL = f"""
+WITH RECURSIVE sig AS (
+  SELECT doc_id, ({_PARITY_TERMS})::BIGINT AS s FROM documents
+), e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3
+), und AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), reach(a, b) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.a, u2.v FROM reach r JOIN und u2 ON r.b = u2.u
+)
+SELECT a AS _id FROM reach GROUP BY a HAVING min(b) < a ORDER BY _id
+"""
+
+_LANG_MARKER_SQL = {
+    "en": r"(?i)\b(the|and|of|to|is|that|was|with)\b",
+    "de": r"(?i)\b(der|die|das|und|ist|nicht|mit|ein)\b",
+    "fr": r"(?i)\b(le|la|les|et|est|dans|pour|que)\b",
+    "es": r"(?i)\b(el|los|las|es|en|por|para|una)\b",
+    "it": r"(?i)\b(il|gli|che|di|per|con|una|sono)\b",
+}
+
+_LANG_ID_SQL = (
+    r"WITH t AS (SELECT doc_id, "
+    r"CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS wc, "
+    + ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS c_{lang}"
+        for lang, pat in _LANG_MARKER_SQL.items()
+    )
+    + " FROM documents), s AS (SELECT doc_id, "
+    + ", ".join(
+        f"CASE WHEN wc > 0 THEN c_{lang}::DOUBLE / greatest(wc, 1) ELSE 0 END AS s_{lang}"
+        for lang in _LANG_MARKER_SQL
+    )
+    + " FROM t) SELECT doc_id, CASE "
+    "WHEN greatest(s_en, s_de, s_fr, s_es, s_it) < 0.05 THEN 'xx' "
+    "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_it THEN 'en' "
+    "WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_it THEN 'de' "
+    "WHEN s_fr >= s_es AND s_fr >= s_it THEN 'fr' "
+    "WHEN s_es >= s_it THEN 'es' ELSE 'it' END AS lang_pred FROM s"
+)
 
 _QUALITY_SQL = r"""
 WITH t AS (
@@ -516,6 +626,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN length(text) > 0 THEN "
             "len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE / length(text) ELSE 0 END AS alpha_frac FROM documents"
         ),
+        "simhash_docs": _SIMHASH_DOCS_SQL,
+        "lang_id": _LANG_ID_SQL,
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3), "
             "s AS (SELECT q.query_id, e.vec_id, "

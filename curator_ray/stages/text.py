@@ -132,6 +132,26 @@ _LANG_MARKERS = {
 }
 
 
+_PARITY_LETTERS = "abcdefghijklmnopqrstuvwx"  # 24 bits
+
+
+def letter_parity_signature(arr, letters: str = _PARITY_LETTERS) -> pa.Array:
+    """Per-document bit signature: bit i = (count of letters[i]) mod 2.
+
+    A deterministic, SQL-expressible stand-in for a content SimHash: two
+    documents differing by a small edit flip few parities, so Hamming
+    distance over this signature is a (crude) edit-similarity signal. Used
+    by the oracle-checked ``simhash_docs`` query — DuckDB reproduces it with
+    ``length(text) - length(replace(text, ch, ''))`` parities and verifies
+    the full banding+verify+connected-components pipeline via
+    ``bit_count(xor(...))`` + a recursive-CTE closure."""
+    sig = np.zeros(len(arr), dtype=np.int64)
+    for i, ch in enumerate(letters):
+        cnt = pc.count_substring(arr, ch).to_numpy(zero_copy_only=False).astype(np.int64)
+        sig |= (cnt & 1) << i
+    return pa.array(sig, pa.int64())
+
+
 def lang_id(arr) -> pa.Array:
     """n-gram/stopword-marker language heuristic -> 2-letter code or 'xx'."""
     wc = pc.cast(word_count(arr), pa.float64())
