@@ -269,6 +269,109 @@ def q_ann_topk(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Heuristic-filter queries (filters.py kernels). The sf documents are
+# single-line symbol-free text, so line/url/paren scorers would be vacuously
+# zero; each query first applies a deterministic structuring transform
+# (plain substring replaces, expressed identically in Arrow and SQL) so the
+# oracle checks real value variation.
+# --------------------------------------------------------------------------
+
+
+def _docs_scored(sf_dir: str, out_field: str, fn):
+    def batch_fn(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), out_field: fn(b.column("text"))})
+
+    return _read(sf_dir, "documents").map_batches(batch_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _lined(arr):
+    out = pc.replace_substring(arr, " value ", ".\nvalue ")
+    return pc.replace_substring(out, " table ", "\n• table ")
+
+
+def q_bullet_lines(sf_dir: str):
+    from curator_ray.stages.filters import bullet_lines_ratio
+
+    return _docs_scored(sf_dir, "bullet_ratio", lambda a: bullet_lines_ratio(_lined(a)))
+
+
+def q_punct_lines(sf_dir: str):
+    from curator_ray.stages.filters import punct_lines_ratio
+
+    return _docs_scored(sf_dir, "punct_ratio", lambda a: punct_lines_ratio(_lined(a)))
+
+
+def q_ellipsis_lines(sf_dir: str):
+    from curator_ray.stages.filters import ellipsis_lines_ratio
+
+    return _docs_scored(
+        sf_dir, "ellipsis_ratio", lambda a: ellipsis_lines_ratio(pc.replace_substring(a, " sort ", "...\nsort "))
+    )
+
+
+def q_long_word(sf_dir: str):
+    from curator_ray.stages.filters import long_word_max
+
+    return _docs_scored(sf_dir, "max_word_len", long_word_max)
+
+
+def q_common_words(sf_dir: str):
+    from curator_ray.stages.filters import common_word_count
+
+    return _docs_scored(sf_dir, "n_common", common_word_count)
+
+
+def q_mean_word_len(sf_dir: str):
+    from curator_ray.stages.filters import mean_word_length_ref
+
+    return _docs_scored(sf_dir, "mean_wlen", mean_word_length_ref)
+
+
+def q_words_alpha(sf_dir: str):
+    from curator_ray.stages.filters import words_with_alpha_ratio
+
+    return _docs_scored(
+        sf_dir, "alpha_word_ratio", lambda a: words_with_alpha_ratio(pc.replace_substring(a, " row ", " 123 "))
+    )
+
+
+def q_urls_ratio(sf_dir: str):
+    from curator_ray.stages.filters import urls_ratio
+
+    return _docs_scored(
+        sf_dir,
+        "url_ratio",
+        lambda a: urls_ratio(pc.replace_substring(a, " spark ", " https://spark.example/q?x=1 ")),
+    )
+
+
+def q_parens_ratio(sf_dir: str):
+    from curator_ray.stages.filters import parentheses_ratio
+
+    return _docs_scored(
+        sf_dir, "paren_ratio", lambda a: parentheses_ratio(pc.replace_substring(a, " part ", " (part) "))
+    )
+
+
+def q_top2gram(sf_dir: str):
+    from curator_ray.stages.filters import repeating_top_ngrams_ratio
+
+    return _docs_scored(sf_dir, "top2gram", lambda a: repeating_top_ngrams_ratio(a, 2))
+
+
+def q_fertility(sf_dir: str):
+    from curator_ray.stages.filters import tokenizer_fertility
+
+    return _docs_scored(sf_dir, "fertility", tokenizer_fertility)
+
+
+def q_substring_prefix(sf_dir: str):
+    from curator_ray.stages.filters import substring_present
+
+    return _docs_scored(sf_dir, "has_prefix", lambda a: substring_present(a, "key", "prefix"))
+
+
+# --------------------------------------------------------------------------
 # Non-SQL-expressible (rows-only) queries
 # --------------------------------------------------------------------------
 
@@ -495,6 +598,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q_events_by_type,
         "ann_topk": q_ann_topk,
         "alpha_fraction": q_alpha_fraction,
+        "bullet_lines": q_bullet_lines,
+        "punct_lines": q_punct_lines,
+        "ellipsis_lines": q_ellipsis_lines,
+        "long_word": q_long_word,
+        "common_words": q_common_words,
+        "mean_word_len": q_mean_word_len,
+        "words_alpha": q_words_alpha,
+        "urls_ratio": q_urls_ratio,
+        "parens_ratio": q_parens_ratio,
+        "top2gram": q_top2gram,
+        "fertility": q_fertility,
+        "substring_prefix": q_substring_prefix,
         # rows-only (non-SQL-expressible)
         "minhash_docs": q_minhash_docs,
         "fuzzy_dedup_images": q_fuzzy_dedup_images,
@@ -532,6 +647,55 @@ WITH RECURSIVE sig AS (
   SELECT r.a, u2.v FROM reach r JOIN und u2 ON r.b = u2.u
 )
 SELECT a AS _id FROM reach GROUP BY a HAVING min(b) < a ORDER BY _id
+"""
+
+_LINED_SQL = (
+    "replace(replace(text, ' value ', '.' || chr(10) || 'value '), "
+    "' table ', chr(10) || '• table ')"
+)
+
+_BULLET_SQL = (
+    f"WITH l AS (SELECT doc_id, {_LINED_SQL} AS t FROM documents), "
+    r"s AS (SELECT doc_id, list_filter(string_split(t, chr(10)), x -> regexp_matches(x, '\S')) AS nb FROM l) "
+    "SELECT doc_id, CASE WHEN len(nb) = 0 THEN 0.0 ELSE "
+    r"len(list_filter(nb, x -> regexp_matches(x, '^\s*[•‣⁃⁌⁍∙○●◘◦⦾⦿]')))::DOUBLE / len(nb) END AS bullet_ratio FROM s"
+)
+
+_PUNCT_SQL = (
+    f"WITH l AS (SELECT doc_id, {_LINED_SQL} AS t FROM documents), "
+    r"s AS (SELECT doc_id, list_filter(string_split(t, chr(10)), x -> regexp_matches(x, '\S')) AS nb FROM l) "
+    "SELECT doc_id, CASE WHEN len(nb) = 0 THEN 0.0 ELSE "
+    "len(list_filter(nb, x -> NOT regexp_matches(x, '[.?!\"'']\\s*$')))::DOUBLE / len(nb) END AS punct_ratio FROM s"
+)
+
+_ELLIPSIS_SQL = (
+    "WITH l AS (SELECT doc_id, replace(text, ' sort ', '...' || chr(10) || 'sort ') AS t FROM documents), "
+    r"s AS (SELECT doc_id, list_filter(string_split(t, chr(10)), x -> regexp_matches(x, '\S')) AS nb FROM l) "
+    "SELECT doc_id, CASE WHEN len(nb) = 0 THEN 0.0 ELSE "
+    r"len(list_filter(nb, x -> regexp_matches(x, '(?i)(\.\.\.|\[\.\.\.\]|…|\(\.\.\.\)|\[…\]|-»|read more\.\.|read more)\s*$')))::DOUBLE / len(nb) END AS ellipsis_ratio FROM s"
+)
+
+_TOP2GRAM_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, text, len(ws) AS nw,
+         unnest(list_transform(generate_series(1, len(ws)-1), i -> {'gram': ws[i] || ' ' || ws[i+1], 'pos': i})) AS u
+  FROM w WHERE len(ws) >= 2
+), c AS (
+  SELECT doc_id, text, nw, u.gram AS gram, count(*) AS cnt, min(u.pos) AS first_pos
+  FROM g GROUP BY doc_id, text, nw, u.gram
+), top AS (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, first_pos ASC) AS rn
+  FROM c
+)
+SELECT d.doc_id AS doc_id,
+  CASE WHEN t.gram IS NULL OR length(d.text) = 0 THEN 1.0
+       ELSE (length(d.text) - length(replace(d.text, t.gram, '')))::DOUBLE / length(d.text) END AS top2gram
+FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
 """
 
 _LANG_MARKER_SQL = {
@@ -628,6 +792,46 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_docs": _SIMHASH_DOCS_SQL,
         "lang_id": _LANG_ID_SQL,
+        "bullet_lines": _BULLET_SQL,
+        "punct_lines": _PUNCT_SQL,
+        "ellipsis_lines": _ELLIPSIS_SQL,
+        "long_word": (
+            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents) "
+            "SELECT doc_id, (CASE WHEN len(ws) = 0 THEN 0 ELSE list_max(list_transform(ws, x -> length(x))) END)::BIGINT AS max_word_len FROM w"
+        ),
+        "common_words": (
+            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents) "
+            "SELECT doc_id, len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with')))::BIGINT AS n_common FROM w"
+        ),
+        "mean_word_len": (
+            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents) "
+            "SELECT doc_id, CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
+            "list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) END AS mean_wlen FROM w"
+        ),
+        "words_alpha": (
+            r"WITH d AS (SELECT doc_id, replace(text, ' row ', ' 123 ') AS t FROM documents), "
+            r"w AS (SELECT doc_id, list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '') AS ws FROM d) "
+            "SELECT doc_id, CASE WHEN len(ws) = 0 THEN 1.0 ELSE "
+            "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(ws) END AS alpha_word_ratio FROM w"
+        ),
+        "urls_ratio": (
+            "WITH d AS (SELECT doc_id, replace(text, ' spark ', ' https://spark.example/q?x=1 ') AS t FROM documents) "
+            "SELECT doc_id, CASE WHEN length(t) = 0 THEN 1.0 ELSE "
+            r"(length(t) - length(regexp_replace(t, 'https?://(?:[A-Za-z0-9$\-_@.&+/:=?#~]|[!*\(\),]|(?:%[0-9A-Fa-f]{2}))+', '', 'g')))::DOUBLE / length(t) END AS url_ratio FROM d"
+        ),
+        "parens_ratio": (
+            "WITH d AS (SELECT doc_id, replace(text, ' part ', ' (part) ') AS t FROM documents) "
+            "SELECT doc_id, CASE WHEN length(t) = 0 THEN 1.0 ELSE "
+            r"len(regexp_extract_all(t, '[{}⟨⟩\[\]()]'))::DOUBLE / length(t) END AS paren_ratio FROM d"
+        ),
+        "top2gram": _TOP2GRAM_SQL,
+        "fertility": (
+            r"WITH t AS (SELECT doc_id, length(text) AS nch, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS nt FROM documents) "
+            "SELECT doc_id, CASE WHEN nt = 0 THEN -1.0 ELSE nch::DOUBLE / nt END AS fertility FROM t"
+        ),
+        "substring_prefix": (
+            "SELECT doc_id, (CASE WHEN text LIKE 'key%' THEN 1 ELSE 0 END)::BIGINT AS has_prefix FROM documents"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3), "
             "s AS (SELECT q.query_id, e.vec_id, "
