@@ -529,6 +529,42 @@ def q_lang_id(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_quality_classifier(sf_dir: str):
+    """Model-based classification (stub weights): rows-only by design —
+    tokenizer + micro-batched model actor pools per classifiers/base.py:163."""
+    from curator_ray.stages.classifier import quality_classifier
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return quality_classifier(ds).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "quality_pred": b.column("quality_pred"),
+                "quality_prob": b.column("quality_prob"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_fineweb_edu(sf_dir: str):
+    from curator_ray.stages.classifier import fineweb_edu_scorer
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return fineweb_edu_scorer(ds).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "fineweb_edu_score": b.column("fineweb_edu_score"),
+                "fineweb_edu_score_int": b.column("fineweb_edu_score_int"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_simhash_docs(sf_dir: str):
     """Full simhash pipeline over the documents table, hash-checkable in SQL:
     24-bit letter-parity signature -> chunk banding (exhaustive for Hamming
@@ -623,6 +659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_semantic_dedup": q_image_semantic_dedup,
         "fingerprint": q_fingerprint,
         "simhash_docs": q_simhash_docs,
+        "quality_classifier": q_quality_classifier,
+        "fineweb_edu": q_fineweb_edu,
     }
 
 

@@ -1,0 +1,283 @@
+"""Text-classifier scaffold: tokenizer -> sort-by-length -> model actor pool.
+
+Ray-Data-native counterpart of the reference's classifier composite
+(``stages/text/classifiers/base.py:163-260`` DistributedDataClassifier =
+TokenizerStage + ClassifierModelStage) and its model plumbing
+(``models/tokenizer.py:39-``, ``models/model.py:36-140``):
+
+- ``TokenizerStage``: actor-pool ``map_batches`` whose ``__init__`` builds the
+  vocab hash state once per worker (the reference loads a HF tokenizer
+  there); emits ``input_ids`` (ragged list<int32>), ``token_length`` and —
+  when ``sort_by_length`` — reorders the batch by token length and records
+  ``seq_order`` so the model stage can restore input order, exactly the
+  reference's SEQ_ORDER_FIELD protocol;
+- ``ClassifierModelStage``: actor-pool ``map_batches`` whose ``__init__``
+  builds the model weights once per worker; ``__call__`` runs micro-batches
+  of ``model_inference_batch_size`` docs (the reference's
+  ``yield_next_batch``), restores ``seq_order``, drops token columns unless
+  ``keep_tokens`` and appends ``label_field`` (+ ``score_field``).
+
+Torch and the real DeBERTa weights are absent in this sandbox, so the model
+is a deterministic stub — seeded hashed-bag-of-words embedding + linear head
++ softmax — but every piece of the distributed plumbing (actor setup, micro-
+batching, length-sorted inference, order restoration, label mapping from a
+sorted label list, filter_by) is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+QUALITY_LABELS = ["High", "Medium", "Low"]  # quality.py label set
+DOMAIN_LABELS = [
+    "Arts", "Business", "Computers", "Games", "Health", "Home", "News",
+    "Recreation", "Reference", "Science", "Shopping", "Society", "Sports",
+]
+AEGIS_LABELS = ["safe", "needs caution", "unsafe"]
+
+INPUT_ID_FIELD = "input_ids"
+TOKEN_LENGTH_FIELD = "token_length"
+SEQ_ORDER_FIELD = "seq_order"
+
+
+class TokenizerStage:
+    """Stub word-hash tokenizer with the reference TokenizerStage contract."""
+
+    def __init__(
+        self,
+        vocab_size: int = 1 << 16,
+        text_field: str = "text",
+        max_chars: int | None = None,
+        max_seq_length: int | None = 512,
+        sort_by_length: bool = True,
+        seed: int = 42,
+    ):
+        # per-worker setup (the reference loads the HF tokenizer here)
+        self.vocab_size = vocab_size
+        self.text_field = text_field
+        self.max_chars = max_chars
+        self.max_seq_length = max_seq_length
+        self.sort_by_length = sort_by_length
+        self.seed = seed
+
+    def _token_ids(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        from ..functions.murmur import hash_bytes_grouped
+        from ..functions.shingles import _string_array_buffers
+
+        trimmed = pc.utf8_trim_whitespace(texts)
+        if self.max_chars is not None:
+            trimmed = pc.utf8_slice_codeunits(trimmed, 0, self.max_chars)
+        splits = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        counts = pc.list_value_length(splits).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = splits.flatten()
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        if len(flat) == 0:
+            return np.zeros(0, np.int32), np.zeros(len(counts), np.int64)
+        data, offsets = _string_array_buffers(flat)
+        lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        h = hash_bytes_grouped(data, offsets[:-1], lengths, seed=self.seed, bits=64)
+        ids = (h % np.uint64(self.vocab_size)).astype(np.int32)
+        counts = np.bincount(doc_idx, minlength=len(counts)).astype(np.int64)
+        if self.max_seq_length is not None:
+            # truncate each doc's token list to max_seq_length
+            keep = (np.arange(len(doc_idx)) - np.concatenate([[0], np.cumsum(counts)])[doc_idx]) < self.max_seq_length
+            ids = ids[keep]
+            counts = np.minimum(counts, self.max_seq_length)
+        return ids, counts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_field)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = col.fill_null("")
+        ids, counts = self._token_ids(col)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        id_col = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), pa.array(ids, pa.int32()))
+        out = batch.append_column(INPUT_ID_FIELD, id_col)
+        out = out.append_column(TOKEN_LENGTH_FIELD, pa.array(counts.astype(np.int64), pa.int64()))
+        if self.sort_by_length:
+            order = np.argsort(counts, kind="stable")
+            out = out.append_column(
+                SEQ_ORDER_FIELD, pa.array(np.arange(len(counts), dtype=np.int64), pa.int64())
+            ).take(order)
+        return out
+
+
+class ClassifierModelStage:
+    """Stub classifier head with the reference ClassifierModelStage contract."""
+
+    def __init__(
+        self,
+        labels: list[str],
+        vocab_size: int = 1 << 16,
+        dim: int = 32,
+        model_inference_batch_size: int = 256,
+        label_field: str = "preds",
+        score_field: str | None = None,
+        has_seq_order: bool = True,
+        keep_tokens: bool = False,
+        seed: int = 7,
+    ):
+        # per-worker model load (seeded deterministic weights stand in for
+        # Deberta.from_pretrained().cuda().eval(), base.py:124-135)
+        rng = np.random.RandomState(seed)
+        self.emb = rng.normal(scale=0.5, size=(vocab_size, dim)).astype(np.float32)
+        self.w = rng.normal(size=(dim, len(labels))).astype(np.float32)
+        self.b = rng.normal(size=len(labels)).astype(np.float32)
+        self.labels = list(labels)
+        self.batch_size = model_inference_batch_size
+        self.label_field = label_field
+        self.score_field = score_field
+        self.has_seq_order = has_seq_order
+        self.keep_tokens = keep_tokens
+
+    def _forward(self, flat_ids: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Mean hashed-BoW embedding -> linear -> softmax probs (n, labels)."""
+        n = len(counts)
+        feats = np.zeros((n, self.emb.shape[1]), dtype=np.float32)
+        if len(flat_ids):
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            valid = counts > 0
+            # reduceat over the (strictly increasing) starts of nonempty docs:
+            # empty docs contribute no rows, so segments cover each doc exactly
+            sums = np.add.reduceat(self.emb[flat_ids], offsets[:-1][valid], axis=0)
+            feats[valid] = sums / counts[valid][:, None]
+        logits = feats @ self.w + self.b
+        logits -= logits.max(axis=1, keepdims=True)
+        e = np.exp(logits)
+        return e / e.sum(axis=1, keepdims=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_col = batch.column(INPUT_ID_FIELD)
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        counts = pc.list_value_length(ids_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = ids_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(batch)
+        probs = np.zeros((n, len(self.labels)), dtype=np.float32)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        for s in range(0, n, self.batch_size):  # micro-batched inference
+            e = min(n, s + self.batch_size)
+            probs[s:e] = self._forward(flat[offsets[s] : offsets[e]], counts[s:e])
+        preds = probs.argmax(axis=1)
+        out = batch.append_column(
+            self.label_field, pa.array(np.array(self.labels, dtype=object)[preds].tolist(), pa.string())
+        )
+        if self.score_field is not None:
+            out = out.append_column(
+                self.score_field, pa.array(probs[np.arange(n), preds].astype(np.float64), pa.float64())
+            )
+        if not self.keep_tokens:
+            out = out.drop_columns([INPUT_ID_FIELD, TOKEN_LENGTH_FIELD])
+        if self.has_seq_order and SEQ_ORDER_FIELD in out.column_names:
+            order = np.argsort(out.column(SEQ_ORDER_FIELD).to_numpy(), kind="stable")
+            out = out.take(order).drop_columns([SEQ_ORDER_FIELD])
+        return out
+
+
+def classifier_stage(
+    ds,
+    labels: list[str],
+    text_field: str = "text",
+    label_field: str = "preds",
+    score_field: str | None = None,
+    filter_by: list[str] | None = None,
+    model_inference_batch_size: int = 256,
+    max_seq_length: int | None = 512,
+    sort_by_length: bool = True,
+    concurrency: tuple[int, int] = (1, 8),
+    batch_size: int = 1024,
+):
+    """DistributedDataClassifier composite (base.py:163-260): tokenizer actor
+    pool -> length-sorted micro-batched model actor pool -> optional label
+    filter."""
+    tokenized = ds.map_batches(
+        TokenizerStage,
+        fn_constructor_kwargs={
+            "text_field": text_field,
+            "max_seq_length": max_seq_length,
+            "sort_by_length": sort_by_length,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    scored = tokenized.map_batches(
+        ClassifierModelStage,
+        fn_constructor_kwargs={
+            "labels": labels,
+            "label_field": label_field,
+            "score_field": score_field,
+            "has_seq_order": sort_by_length,
+            "model_inference_batch_size": model_inference_batch_size,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    if filter_by:
+        allowed = set(filter_by)
+        scored = scored.map_batches(
+            lambda b: b.filter(pc.is_in(b.column(label_field), value_set=pa.array(sorted(allowed)))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return scored
+
+
+def quality_classifier(ds, text_field: str = "text", filter_by: list[str] | None = None):
+    """QualityClassifier (classifiers/quality.py:28): High/Medium/Low."""
+    return classifier_stage(
+        ds, QUALITY_LABELS, text_field=text_field, label_field="quality_pred",
+        score_field="quality_prob", filter_by=filter_by,
+    )
+
+
+def domain_classifier(ds, text_field: str = "text", filter_by: list[str] | None = None):
+    """DomainClassifier (classifiers/domain.py): categorical domains."""
+    return classifier_stage(
+        ds, DOMAIN_LABELS, text_field=text_field, label_field="domain_pred",
+        score_field="domain_prob", filter_by=filter_by,
+    )
+
+
+def aegis_classifier(ds, text_field: str = "text", filter_by: list[str] | None = None):
+    """AegisClassifier (classifiers/aegis.py) safety labels."""
+    return classifier_stage(
+        ds, AEGIS_LABELS, text_field=text_field, label_field="safety_pred",
+        score_field="safety_prob", filter_by=filter_by,
+    )
+
+
+def fineweb_edu_scorer(ds, text_field: str = "text"):
+    """FineWebEduClassifier (classifiers/fineweb_edu.py): regression head ->
+    float score in [0, 5] plus the rounded int score column."""
+    labels = [str(i) for i in range(6)]  # 0-5 educational-value buckets
+    scored = classifier_stage(
+        ds, labels, text_field=text_field, label_field="_fw_bucket", score_field="_fw_prob",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(b.column("_fw_bucket"), pa.float64())
+        # smooth score: bucket blended with its confidence, clipped to [0, 5]
+        score = pc.min_element_wise(
+            pc.max_element_wise(pc.add(bucket, pc.subtract(b.column("_fw_prob"), 0.5)), 0.0), 5.0
+        )
+        out = b.append_column("fineweb_edu_score", score)
+        out = out.append_column("fineweb_edu_score_int", pc.cast(pc.round(score), pa.int64()))
+        return out.drop_columns(["_fw_bucket", "_fw_prob"])
+
+    return scored.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
