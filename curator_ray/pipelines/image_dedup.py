@@ -91,6 +91,7 @@ def image_dedup_workflow(
     cache_dir: str | None = None,
     write_survivors: bool = True,
     checkpoint: bool = True,
+    survivors_format: str = "parquet",
 ) -> dict:
     """Run the full dedup; returns counters (rows, duplicates, survivors).
 
@@ -106,7 +107,8 @@ def image_dedup_workflow(
     simhash = simhash or SimHashConfig()
     if not checkpoint:
         return _streaming_workflow(
-            input_path, output_path, fuzzy, simhash, use_substring, substring_min_length, write_survivors
+            input_path, output_path, fuzzy, simhash, use_substring, substring_min_length,
+            write_survivors, survivors_format,
         )
     cache_dir = cache_dir or os.path.join(output_path, "_cache")
     manifest = CheckpointManifest(os.path.join(output_path, "_checkpoints"))
@@ -198,14 +200,25 @@ def image_dedup_workflow(
             survivors = _remove(full, removal, n_dups, fuzzy.id_field)
             shutil.rmtree(surv_dir, ignore_errors=True)
             os.makedirs(surv_dir, exist_ok=True)
-            survivors.drop_columns([fuzzy.id_field]).write_parquet(surv_dir)
-            import ray as _ray
-
-            n_surv = _ray.data.read_parquet(surv_dir).count()
+            n_surv = _write_survivors(survivors.drop_columns([fuzzy.id_field]), surv_dir, survivors_format)
             manifest.record("survivors", "all", surv_fp, counters={"survivors": n_surv})
         counters["survivors"] = manifest.counters(touched).get("survivors", 0)
     counters.update(manifest.counters(touched))
     return counters
+
+
+def _write_survivors(survivors, surv_dir: str, fmt: str) -> int:
+    """Write surviving rows as parquet or WebDataset tar shards; returns the
+    survivor count (tar shards per the reference ImageWriterStage layout)."""
+    import ray
+
+    if fmt == "webdataset":
+        from ..sources.tar import write_webdataset
+
+        manifest = write_webdataset(survivors, surv_dir)
+        return sum(r["n_images"] for r in manifest.take_all())
+    survivors.write_parquet(surv_dir)
+    return ray.data.read_parquet(surv_dir).count()
 
 
 def _remove(full, removal, n_removal: int, id_field: str):
@@ -225,6 +238,7 @@ def _streaming_workflow(
     use_substring: bool,
     substring_min_length: int,
     write_survivors: bool,
+    survivors_format: str = "parquet",
 ) -> dict:
     """Checkpoint-free path: one object-store materialization of the
     signature projection, lazily-unioned edge sources, one CC pass."""
@@ -252,8 +266,8 @@ def _streaming_workflow(
         shutil.rmtree(surv_dir, ignore_errors=True)
         os.makedirs(surv_dir, exist_ok=True)
         full = with_ids(ray.data.read_parquet(input_path), key_field="image_id")
-        _remove(full, removal, counters["num_duplicates"], fuzzy.id_field).drop_columns(
+        surv = _remove(full, removal, counters["num_duplicates"], fuzzy.id_field).drop_columns(
             [fuzzy.id_field]
-        ).write_parquet(surv_dir)
-        counters["survivors"] = ray.data.read_parquet(surv_dir).count()
+        )
+        counters["survivors"] = _write_survivors(surv, surv_dir, survivors_format)
     return counters

@@ -1,0 +1,154 @@
+"""WebDataset-style tar shard IO for image+caption tables.
+
+Counterparts of the reference's ``ImageWriterStage``
+(``stages/image/io/image_writer.py:34-239``: tar shards of at most
+``images_per_tar`` members, deterministic sha256 shard names from the sorted
+member names (``:69-76``), sidecar parquet of per-image metadata) and
+``ImageReaderStage`` (``stages/image/io/image_reader.py:31-156``: one
+FileGroupTask of tars fanning out to image batches; DALI decode is a
+separate stage here — ``stages/image.decode_stage``).
+
+Layout per shard ``images-<sha12>.tar``:
+- ``<image_id>.<fmt>``  raw image bytes (passed through untouched, so the
+  decoded-pixel invariant holds trivially),
+- ``<image_id>.txt``    caption (WebDataset convention),
+plus one ``images-<sha12>.parquet`` sidecar with the remaining columns.
+
+Writing is a ``map_batches`` stage (one task per batch, shards of
+``images_per_tar``); reading is a driver-side listing fanned out with one
+task per shard — at 100 TB both directions stream shard-by-shard and no
+task ever holds more than ``images_per_tar`` images.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import io
+import os
+import tarfile
+
+import numpy as np
+import pyarrow as pa
+
+
+def _shard_name(member_names: list[str]) -> str:
+    """Deterministic shard base name (image_writer.py:69-76)."""
+    combined = "|".join(sorted(member_names))
+    return "images-" + hashlib.sha256(combined.encode()).hexdigest()[:12]
+
+
+class _TarShardWriter:
+    """map_batches task: pack each batch into tar shards + parquet sidecars,
+    emit one manifest row per shard."""
+
+    def __init__(self, output_dir: str, images_per_tar: int = 1000):
+        os.makedirs(output_dir, exist_ok=True)
+        self.output_dir = output_dir
+        self.images_per_tar = images_per_tar
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        captions = batch.column("caption").to_pylist() if "caption" in batch.column_names else [None] * len(ids)
+        meta_cols = [c for c in batch.column_names if c not in ("bytes", "caption")]
+        out_names, out_rows = [], []
+        for s in range(0, len(ids), self.images_per_tar):
+            e = min(len(ids), s + self.images_per_tar)
+            members = [f"{ids[i]}.{fmts[i]}" for i in range(s, e)]
+            base = _shard_name(members)
+            tar_path = os.path.join(self.output_dir, base + ".tar")
+            tmp = tar_path + ".tmp"
+            with open(tmp, "wb") as fobj, tarfile.open(fileobj=fobj, mode="w") as tf:
+                for i in range(s, e):
+                    for name, payload in ((members[i - s], blobs[i]),) + (
+                        ((f"{ids[i]}.txt", (captions[i] or "").encode()),) if captions[i] is not None else ()
+                    ):
+                        info = tarfile.TarInfo(name=name)
+                        info.size = len(payload)
+                        info.mtime = 0  # deterministic bytes
+                        tf.addfile(info, io.BytesIO(payload))
+            os.replace(tmp, tar_path)  # atomic per shard -> resumable
+            sidecar = batch.slice(s, e - s).select(meta_cols).append_column(
+                "tar_file", pa.array([base + ".tar"] * (e - s), pa.string())
+            )
+            import pyarrow.parquet as pq
+
+            pq.write_table(sidecar, os.path.join(self.output_dir, base + ".parquet"))
+            out_names.append(base + ".tar")
+            out_rows.append(e - s)
+        return pa.table(
+            {"tar_file": pa.array(out_names, pa.string()), "n_images": pa.array(out_rows, pa.int64())}
+        )
+
+
+def write_webdataset(ds, output_dir: str, images_per_tar: int = 1000):
+    """Dataset[(image_id, bytes, fmt, caption?, ...)] -> tar shards +
+    parquet sidecars under ``output_dir``. Returns the shard-manifest
+    Dataset[(tar_file, n_images)] (consume it to drive the write)."""
+    return ds.map_batches(
+        _TarShardWriter,
+        fn_constructor_kwargs={"output_dir": output_dir, "images_per_tar": images_per_tar},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=images_per_tar,
+        concurrency=(1, 8),
+    )
+
+
+def _read_shard(batch: pa.Table) -> pa.Table:
+    """One task per shard path: tar members + parquet sidecar -> image rows."""
+    import pyarrow.parquet as pq
+
+    tables = []
+    for path in batch.column("path").to_pylist():
+        blobs: dict[str, bytes] = {}
+        caps: dict[str, str] = {}
+        fmts: dict[str, str] = {}
+        with tarfile.open(path, mode="r") as tf:
+            for m in tf.getmembers():
+                stem, ext = os.path.splitext(m.name)
+                payload = tf.extractfile(m).read()
+                if ext == ".txt":
+                    caps[stem] = payload.decode()
+                else:
+                    blobs[stem] = payload
+                    fmts[stem] = ext.lstrip(".")
+        ids = sorted(blobs)
+        cols = {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array([blobs[i] for i in ids], pa.binary()),
+            "fmt": pa.array([fmts[i] for i in ids], pa.string()),
+        }
+        if caps:
+            cols["caption"] = pa.array([caps.get(i, "") for i in ids], pa.string())
+        tbl = pa.table(cols)
+        sidecar_path = path[: -len(".tar")] + ".parquet"
+        if os.path.exists(sidecar_path):
+            side = pq.read_table(sidecar_path)
+            extra = [c for c in side.column_names if c not in tbl.column_names and c != "tar_file"]
+            if extra:
+                side = side.select(["image_id", *extra])
+                order = {v: i for i, v in enumerate(side.column("image_id").to_pylist())}
+                take = pa.array([order[i] for i in ids], pa.int64())
+                side = side.take(take)
+                for c in extra:
+                    tbl = tbl.append_column(c, side.column(c))
+        tables.append(tbl)
+    return pa.concat_tables(tables) if tables else pa.table({"image_id": pa.array([], pa.string())})
+
+
+def read_webdataset(input_dir: str):
+    """Tar-shard directory -> Dataset of image rows (input_hint schema
+    columns recovered from tar members + sidecar parquet). One read task per
+    shard; shards stream through the pipeline like any other blocks."""
+    import ray
+
+    paths = sorted(glob.glob(os.path.join(input_dir, "*.tar")))
+    if not paths:
+        raise FileNotFoundError(f"no .tar shards under {input_dir}")
+    items = pa.table({"path": pa.array(paths, pa.string())})
+    return ray.data.from_arrow(items).map_batches(
+        _read_shard, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+    )

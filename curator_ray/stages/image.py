@@ -194,6 +194,44 @@ def aesthetic_filter_stage(ds, threshold: float = 5.0, concurrency: tuple[int, i
     )
 
 
+class FakeNsfwScorer:
+    """Deterministic stand-in for the NSFW-MLP actor
+    (``stages/image/filters/nsfw_filter.py:28-96``): scores an embedding row
+    in [0, 1]; higher = more likely NSFW. Same actor-pool shape as the
+    aesthetic scorer (model built once per worker in ``__init__``)."""
+
+    def __init__(self, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.w = rng.normal(size=64).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = col.type.list_size
+        emb = col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), dim)
+        score = 1.0 / (1.0 + np.exp(-(emb @ self.w[:dim])))
+        return batch.append_column("nsfw_score", pa.array(score.astype(np.float64), pa.float64()))
+
+
+def nsfw_filter_stage(ds, threshold: float = 0.5, concurrency: tuple[int, int] = (1, 8)):
+    """Score + drop rows with nsfw_score above ``threshold`` — the reference
+    keeps images with scores BELOW the threshold (``nsfw_filter.py:82-96``)."""
+    import pyarrow.compute as pc
+
+    scored = ds.map_batches(
+        FakeNsfwScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    return scored.map_batches(
+        lambda b: b.filter(pc.less(b.column("nsfw_score"), threshold)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 class ImageDuplicatesRemoval:
     """Anti-filter on image_id strings from a removal-parquet directory —
     reference ``ImageDuplicatesRemovalStage`` semantics incl. multi-file
