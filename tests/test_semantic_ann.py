@@ -162,3 +162,34 @@ def test_kmeans_distributed_matches_structure(ray_session):
     got = kmeans_fit_distributed(ds, cfg)
     for c in centers:
         assert np.min(np.linalg.norm(got - c, axis=1)) < 0.5
+
+
+def test_semantic_oversized_cluster_split(ray_session):
+    """One dominant cluster + max_cluster_size forces the one-level
+    re-cluster (semantic.split_oversized_clusters): no pairwise map_groups
+    task may receive the whole 4k-member cluster."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from curator_ray.config import SemanticDedupConfig
+    from curator_ray.stages.semantic import kmeans_assign, split_oversized_clusters
+
+    rng = np.random.RandomState(0)
+    emb = rng.normal(size=(4000, 8)) * 0.05 + 1.0  # everything near one point
+    tbl = pa.table(
+        {
+            "_id": pa.array(np.arange(4000), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in emb], pa.list_(pa.float32())),
+        }
+    )
+    cfg = SemanticDedupConfig(n_clusters=2, max_cluster_size=500, kmeans_sample_size=1000)
+    centroids = np.stack([np.full(8, 1.0), np.full(8, -1.0)])
+    assigned = kmeans_assign(ray.data.from_arrow(tbl), centroids, cfg)
+    split = split_oversized_clusters(assigned, cfg)
+    sizes = {r["centroid_id"]: r["count()"] for r in split.groupby("centroid_id").count().take_all()}
+    assert sum(sizes.values()) == 4000
+    assert len(sizes) >= 4  # the hot cluster was split
+    # near-identical points spread across sub-centroids; no task-sized blob
+    # anywhere near the original 4000
+    assert max(sizes.values()) < 2500
