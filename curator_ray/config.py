@@ -29,7 +29,13 @@ class FuzzyDedupConfig:
     # cross-block dup buckets fit in memory), "groupby" = map_groups fallback
     global_bucket_mode: str = "broadcast"
     max_broadcast_buckets: int = 20_000_000
-    cc_driver_fallback_edges: int = 2_000_000  # below this, union-find on the driver
+    # Below this edge count, connected components runs the vectorized numpy
+    # union-find on the driver: 16 bytes/edge -> ~800 MB at the 50M cap on a
+    # 128 GiB node, and HashMin+pointer-jumping is ~0.2 s per 1M edges
+    # (PERF.md). Above it, the sort-based distributed HashMin path takes over
+    # (several full sorts of O(V+E) rows per round — correct, but orders of
+    # magnitude slower; only worth it when edges genuinely don't fit).
+    cc_driver_fallback_edges: int = 50_000_000
     cc_max_iterations: int = 25
     cc_num_partitions: int = 64
 

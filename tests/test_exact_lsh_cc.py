@@ -165,3 +165,31 @@ def test_distributed_cc_boundary_runs(ray_session):
     labels = connected_components(ray.data.from_arrow(tables), cfg)
     got = {r["v"]: r["group"] for r in labels.take_all()}
     assert got == _brute_components(edges)
+
+
+def test_removal_broadcast_vs_join_equivalence(ray_session):
+    """remove_by_ids (broadcast) and remove_by_ids_join (distributed hash
+    anti-join) must keep identical survivors — the flagship auto-switches
+    between them on removal-list size (pipelines/image_dedup._remove)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from curator_ray.stages.removal import remove_by_ids, remove_by_ids_join
+
+    rng = np.random.RandomState(3)
+    ids = rng.permutation(5000).astype(np.int64)
+    corpus = pa.table({"_id": pa.array(ids, pa.int64()), "payload": pa.array(ids * 7, pa.int64())})
+    removal_ids = np.sort(rng.choice(5000, size=1200, replace=False)).astype(np.int64)
+    removal_tbl = pa.table({"_id": pa.array(removal_ids, pa.int64())})
+
+    surv_b = remove_by_ids(ray.data.from_arrow(corpus), ray.data.from_arrow(removal_tbl)).take_all()
+    surv_j = remove_by_ids_join(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(removal_tbl), num_partitions=8
+    ).take_all()
+    key = lambda r: r["_id"]
+    sb = sorted(((r["_id"], r["payload"]) for r in surv_b))
+    sj = sorted(((r["_id"], r["payload"]) for r in surv_j))
+    assert sb == sj
+    assert len(sb) == 5000 - 1200
+    assert not (set(removal_ids) & {i for i, _ in sb})
