@@ -496,6 +496,27 @@ def histogram_char_ratio(arr, char_class: str = r"[\x20-\x7E\t\n\r]") -> pa.Arra
     return _ratio_or(hits, nchar, 1.0)
 
 
+def token_count_filter(ds, text_field: str = "text", min_tokens: int = 0, max_tokens: int | None = None):
+    """TokenCountFilter (filters/token/token_count.py:23-): keep documents
+    whose token count is inside [min_tokens, max_tokens]; the package's regex
+    token counter stands in for the HF tokenizer."""
+    from .text import filter_stage
+
+    return filter_stage(
+        ds, lambda a: token_count(a), text_field, min_value=min_tokens, max_value=max_tokens
+    )
+
+
+def histogram_filter(ds, text_field: str = "text", threshold: float = 0.8, char_class: str = r"[\x20-\x7E\t\n\r]"):
+    """HistogramFilter (filters/histogram/histogram.py:24-): keep documents
+    whose trusted-charset ratio is at least ``threshold``."""
+    from .text import filter_stage
+
+    return filter_stage(
+        ds, lambda a: histogram_char_ratio(a, char_class), text_field, min_value=threshold
+    )
+
+
 def per_extension_stage(ds, rules: dict[str, dict], text_field: str = "text", ext_field: str = "extension"):
     """PerExtensionFilter (code.py:200-268) with the CSV replaced by an
     explicit ``rules`` dict: extension -> {include, line_max, line_mean,

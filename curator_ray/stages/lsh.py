@@ -73,10 +73,14 @@ def _bucket_runs(hi: np.ndarray, lo: np.ndarray) -> tuple[np.ndarray, np.ndarray
 def _local_bands_batch(
     batch: pa.Table, *, cfg: FuzzyDedupConfig, band_range: range, emit: str
 ) -> pa.Table:
-    """Shared kernel for the two outputs of the banding pass.
+    """Shared kernel for the outputs of the banding pass.
 
     emit="edges": batch-local star edges (src=local min, dst=other members).
     emit="reps":  one (bucket_hi, bucket_lo, rep, cnt) row per (bucket, batch).
+    emit="both":  edges AND reps (no cnt) in one null-padded union table —
+                  ONE banding pass feeds both consumers (band_hashes over
+                  every row x band is the expensive part; running the kernel
+                  twice measurably caps single-node scaling).
     """
     sig = _sig_matrix(batch, cfg.minhash_field)
     ids = batch.column(cfg.id_field).to_numpy()
@@ -84,6 +88,8 @@ def _local_bands_batch(
     if n == 0:
         if emit == "edges":
             return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        if emit == "both":
+            return _BOTH_EMPTY
         return pa.table(
             {
                 "bucket_hi": pa.array([], pa.int64()),
@@ -107,40 +113,72 @@ def _local_bands_batch(
     run_min = np.minimum.reduceat(sid, run_starts)
     sizes = run_ends - run_starts
 
-    if emit == "edges":
+    if emit in ("edges", "both"):
         multi = sizes > 1
-        if not multi.any():
-            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        member_src = np.repeat(run_min, sizes)
-        mask = sid != member_src
-        # the same pair is emitted by every band that buckets it together —
-        # dedup within the batch (up to num_bands x fewer edge rows shuffled)
-        pairs = np.unique(np.stack([member_src[mask], sid[mask]], axis=1), axis=0)
-        return pa.table(
-            {"src": pa.array(pairs[:, 0], pa.int64()), "dst": pa.array(pairs[:, 1], pa.int64())}
-        )
+        if multi.any():
+            member_src = np.repeat(run_min, sizes)
+            mask = sid != member_src
+            # the same pair is emitted by every band that buckets it together —
+            # dedup within the batch (up to num_bands x fewer edge rows shuffled)
+            pairs = np.unique(np.stack([member_src[mask], sid[mask]], axis=1), axis=0)
+            src, dst = pairs[:, 0], pairs[:, 1]
+        else:
+            src = dst = np.zeros(0, np.int64)
+        if emit == "edges":
+            return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
 
     # bucket keys as bit-identical int64 views: Ray's groupby aggregate
     # pickles uint64 columns whose values exceed the int64 range
-    return pa.table(
+    rep_hi = flat_hi[order][run_starts].view(np.int64)
+    rep_lo = flat_lo[order][run_starts].view(np.int64)
+    if emit == "reps":
+        return pa.table(
+            {
+                "bucket_hi": pa.array(rep_hi, pa.int64()),
+                "bucket_lo": pa.array(rep_lo, pa.int64()),
+                "rep": pa.array(run_min, pa.int64()),
+                "cnt": pa.array(sizes.astype(np.int64), pa.int64()),
+            }
+        )
+    nm, nr = len(src), len(run_min)
+    edges_part = pa.table(
         {
-            "bucket_hi": pa.array(flat_hi[order][run_starts].view(np.int64), pa.int64()),
-            "bucket_lo": pa.array(flat_lo[order][run_starts].view(np.int64), pa.int64()),
-            "rep": pa.array(run_min, pa.int64()),
-            "cnt": pa.array(sizes.astype(np.int64), pa.int64()),
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "bucket_hi": pa.nulls(nm, pa.int64()),
+            "bucket_lo": pa.nulls(nm, pa.int64()),
+            "rep": pa.nulls(nm, pa.int64()),
         }
     )
+    reps_part = pa.table(
+        {
+            "src": pa.nulls(nr, pa.int64()),
+            "dst": pa.nulls(nr, pa.int64()),
+            "bucket_hi": pa.array(rep_hi, pa.int64()),
+            "bucket_lo": pa.array(rep_lo, pa.int64()),
+            "rep": pa.array(run_min, pa.int64()),
+        }
+    )
+    return pa.concat_tables([edges_part, reps_part])
+
+
+_BOTH_EMPTY = pa.table(
+    {
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+        "bucket_hi": pa.array([], pa.int64()),
+        "bucket_lo": pa.array([], pa.int64()),
+        "rep": pa.array([], pa.int64()),
+    }
+)
 
 
 def _global_star(group: pa.Table) -> pa.Table:
-    reps = group.column("rep").to_numpy()
-    cnts = group.column("cnt").to_numpy()
-    if int(cnts.sum()) <= 1:
-        # global singleton bucket: cannot form duplicates (lsh.py:250-254)
-        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-    uniq = np.unique(reps)
+    uniq = np.unique(group.column("rep").to_numpy())
     if len(uniq) <= 1:
-        # one representative: members already star-connected batch-locally
+        # single representative: either a global singleton (no duplicates,
+        # lsh.py:250-254) or a bucket whose members all sat in one batch and
+        # are already star-connected locally — no global edge needed either way
         return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
     m = uniq[0]
     return pa.table({"src": pa.array(np.full(len(uniq) - 1, m), pa.int64()), "dst": pa.array(uniq[1:], pa.int64())})
@@ -206,19 +244,29 @@ def _global_star_broadcast(reps, cfg: FuzzyDedupConfig):
 def lsh_candidate_edges(ds_sig, cfg: FuzzyDedupConfig, band_range: range | None = None):
     """Signature Dataset -> candidate edge Dataset (src, dst) int64.
 
-    ``ds_sig`` is consumed twice (local-edge pass + representative pass); point
-    it at the materialized minhash cache, not at the raw pipeline, so minhash
-    isn't recomputed (the reference persists its minhash parquet between
-    pipelines for the same reason, ``fuzzy/workflow.py:200-255``).
+    Point ``ds_sig`` at the materialized minhash cache, not at the raw
+    pipeline, so minhash isn't recomputed (the reference persists its minhash
+    parquet between pipelines for the same reason,
+    ``fuzzy/workflow.py:200-255``).
     """
+    import pyarrow.compute as pc
+
     band_range = band_range if band_range is not None else range(cfg.num_bands)
-    local = ds_sig.map_batches(
-        functools.partial(_local_bands_batch, cfg=cfg, band_range=band_range, emit="edges"),
+    # ONE banding pass (band_hashes over rows x bands is the dominant kernel)
+    # emitting local edges + representatives in a null-padded union table,
+    # materialized once; both consumers below are cheap filters over it
+    combined = ds_sig.map_batches(
+        functools.partial(_local_bands_batch, cfg=cfg, band_range=band_range, emit="both"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    local = combined.map_batches(
+        lambda b: b.select(["src", "dst"]).filter(pc.is_valid(b.column("src"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    reps = ds_sig.map_batches(
-        functools.partial(_local_bands_batch, cfg=cfg, band_range=band_range, emit="reps"),
+    reps = combined.map_batches(
+        lambda b: b.select(["bucket_hi", "bucket_lo", "rep"]).filter(pc.is_valid(b.column("rep"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -96,10 +96,14 @@ def _verified_edges(ids: np.ndarray, ph: np.ndarray, threshold: int, cap: int = 
 
 
 def _local_simhash(batch: pa.Table, *, cfg: SimHashConfig, emit: str) -> pa.Table:
+    """emit="edges" | "reps" | "both" — "both" runs the banding kernel ONCE
+    and returns edges + reps in a null-padded union table (see lsh.py)."""
     ids = batch.column(cfg.id_field).to_numpy()
     ph = batch.column(cfg.hash_field).to_numpy()
     srcs, dsts = [], []
     rep_band, rep_key, rep_ph, rep_id = [], [], [], []
+    want_edges = emit in ("edges", "both")
+    want_reps = emit in ("reps", "both")
 
     # identical-pHash rows: star locally, keep one rep per distinct value
     order = np.argsort(ph, kind="stable")
@@ -107,7 +111,7 @@ def _local_simhash(batch: pa.Table, *, cfg: SimHashConfig, emit: str) -> pa.Tabl
     run_starts = np.flatnonzero(np.concatenate([[True], sph[1:] != sph[:-1]]))
     run_min = np.minimum.reduceat(sid, run_starts)
     sizes = np.diff(np.append(run_starts, len(sid)))
-    if emit == "edges":
+    if want_edges:
         member_src = np.repeat(run_min, sizes)
         mask = sid != member_src
         srcs.append(member_src[mask])
@@ -117,50 +121,72 @@ def _local_simhash(batch: pa.Table, *, cfg: SimHashConfig, emit: str) -> pa.Tabl
     uph = sph[run_starts]
     uid = run_min
     for band_id, keys in _band_keys(uph, cfg):
-        if emit == "reps":
+        if want_reps:
             # every (band, distinct-pHash) row IS a representative — no
             # grouping needed, emit the whole band column vectorized
             rep_band.append(np.full(len(keys), band_id, np.int32))
             rep_key.append(keys)
             rep_ph.append(uph)
             rep_id.append(uid)
+        if not want_edges:
             continue
         korder = np.argsort(keys, kind="stable")
         kk, kph, kid = keys[korder], uph[korder], uid[korder]
         starts = np.flatnonzero(np.concatenate([[True], kk[1:] != kk[:-1]]))
         ends = np.append(starts[1:], len(kk))
-        sizes = ends - starts
+        ksizes = ends - starts
         # only multi-member runs need pairwise verification (rare)
-        for r in np.flatnonzero(sizes >= 2):
+        for r in np.flatnonzero(ksizes >= 2):
             s, e = starts[r], ends[r]
             a, b = _verified_edges(kid[s:e], kph[s:e], cfg.hamming_threshold, cfg.verify_cap)
             srcs.append(a)
             dsts.append(b)
 
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    if want_edges and len(src):
+        # the same verified pair can surface from several bands
+        pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+        src, dst = pairs[:, 0], pairs[:, 1]
     if emit == "edges":
-        src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
-        dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
-        if len(src):
-            # the same verified pair can surface from several bands
-            pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
-            src, dst = pairs[:, 0], pairs[:, 1]
         return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
     # int64 band/key columns: Ray shuffles pickle uint64 above int64 range
-    return pa.table(
+    band = (np.concatenate(rep_band) if rep_band else np.zeros(0, np.int32)).astype(np.int64)
+    key = (np.concatenate(rep_key) if rep_key else np.zeros(0, np.uint64)).astype(np.uint64).view(np.int64)
+    phv = (np.concatenate(rep_ph) if rep_ph else np.zeros(0)).astype(np.int64).view(np.int64)
+    rid = np.concatenate(rep_id) if rep_id else np.zeros(0, np.int64)
+    reps_tbl = pa.table(
         {
-            "band": pa.array(
-                (np.concatenate(rep_band) if rep_band else np.zeros(0, np.int32)).astype(np.int64), pa.int64()
-            ),
-            "key": pa.array(
-                (np.concatenate(rep_key) if rep_key else np.zeros(0, np.uint64)).astype(np.uint64).view(np.int64),
-                pa.int64(),
-            ),
-            "phash": pa.array(
-                (np.concatenate(rep_ph) if rep_ph else np.zeros(0)).astype(np.int64).view(np.int64), pa.int64()
-            ),
-            "rid": pa.array(np.concatenate(rep_id) if rep_id else np.zeros(0, np.int64), pa.int64()),
+            "band": pa.array(band, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "phash": pa.array(phv, pa.int64()),
+            "rid": pa.array(rid, pa.int64()),
         }
     )
+    if emit == "reps":
+        return reps_tbl
+    nm, nr = len(src), len(rid)
+    edges_part = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "band": pa.nulls(nm, pa.int64()),
+            "key": pa.nulls(nm, pa.int64()),
+            "phash": pa.nulls(nm, pa.int64()),
+            "rid": pa.nulls(nm, pa.int64()),
+        }
+    )
+    reps_part = pa.table(
+        {
+            "src": pa.nulls(nr, pa.int64()),
+            "dst": pa.nulls(nr, pa.int64()),
+            "band": reps_tbl.column("band"),
+            "key": reps_tbl.column("key"),
+            "phash": reps_tbl.column("phash"),
+            "rid": reps_tbl.column("rid"),
+        }
+    )
+    return pa.concat_tables([edges_part, reps_part])
 
 
 class _BucketMemberFilter:
@@ -189,18 +215,25 @@ def simhash_candidate_edges(ds, cfg: SimHashConfig, max_broadcast: int = 20_000_
     reach a Python UDF); only members of those buckets flow into the
     per-bucket Hamming-verification ``map_groups``.
     """
+    import pyarrow.compute as pc
     import ray
 
     from ..functions.packkeys import pack_u128
     from .sortagg import dup_bucket_table
 
-    local = ds.map_batches(
-        functools.partial(_local_simhash, cfg=cfg, emit="edges"),
+    # one banding pass, materialized; edges/reps are cheap filters over it
+    combined = ds.map_batches(
+        functools.partial(_local_simhash, cfg=cfg, emit="both"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    local = combined.map_batches(
+        lambda b: b.select(["src", "dst"]).filter(pc.is_valid(b.column("src"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    reps = ds.map_batches(
-        functools.partial(_local_simhash, cfg=cfg, emit="reps"),
+    reps = combined.map_batches(
+        lambda b: b.select(["band", "key", "phash", "rid"]).filter(pc.is_valid(b.column("rid"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

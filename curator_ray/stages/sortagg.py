@@ -69,6 +69,13 @@ def dup_bucket_table(reps, key_cols: list[str], rep_col: str = "rep", max_rows: 
     """
     import functools
 
+    # project to exactly the columns the scan reads — extra columns (e.g. a
+    # combiner count) would ride through the whole sort shuffle for nothing
+    reps = reps.map_batches(
+        lambda b, cols=tuple(key_cols) + (rep_col,): b.select(list(cols)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     scanned = reps.sort(key_cols).map_batches(
         functools.partial(_scan_sorted_block, key_cols=key_cols, rep_col=rep_col),
         batch_format="pyarrow",

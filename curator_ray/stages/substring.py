@@ -30,6 +30,8 @@ def _local_substring(
     if len(all_fp) == 0:
         if emit == "edges":
             return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        if emit == "both":
+            return _BOTH_EMPTY
         return pa.table({"fp": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})
     # per-doc unique fingerprints
     pairs = np.unique(np.stack([doc_idx, all_fp.view(np.int64)], axis=1), axis=0)
@@ -40,16 +42,50 @@ def _local_substring(
     starts = np.flatnonzero(np.concatenate([[True], sfp[1:] != sfp[:-1]]))
     run_min = np.minimum.reduceat(sid, starts)
     sizes = np.diff(np.append(starts, len(sfp)))
-    if emit == "edges":
+    src = dst = np.zeros(0, np.int64)
+    if emit in ("edges", "both"):
         member_src = np.repeat(run_min, sizes)
         mask = sid != member_src
         # many shared fingerprints emit the same pair — dedup within the batch
-        pairs = np.unique(np.stack([member_src[mask], sid[mask]], axis=1), axis=0)
-        return pa.table(
-            {"src": pa.array(pairs[:, 0], pa.int64()), "dst": pa.array(pairs[:, 1], pa.int64())}
-        )
+        epairs = np.unique(np.stack([member_src[mask], sid[mask]], axis=1), axis=0)
+        src, dst = epairs[:, 0], epairs[:, 1]
+        if emit == "edges":
+            return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
     # int64 view: Ray aggregates pickle uint64 columns above the int64 range
-    return pa.table({"fp": pa.array(sfp[starts].view(np.int64), pa.int64()), "rep": pa.array(run_min, pa.int64())})
+    rep_fp = sfp[starts].view(np.int64)
+    if emit == "reps":
+        return pa.table({"fp": pa.array(rep_fp, pa.int64()), "rep": pa.array(run_min, pa.int64())})
+    nm, nr = len(src), len(run_min)
+    return pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                    "fp": pa.nulls(nm, pa.int64()),
+                    "rep": pa.nulls(nm, pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "src": pa.nulls(nr, pa.int64()),
+                    "dst": pa.nulls(nr, pa.int64()),
+                    "fp": pa.array(rep_fp, pa.int64()),
+                    "rep": pa.array(run_min, pa.int64()),
+                }
+            ),
+        ]
+    )
+
+
+_BOTH_EMPTY = pa.table(
+    {
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+        "fp": pa.array([], pa.int64()),
+        "rep": pa.array([], pa.int64()),
+    }
+)
 
 
 def _global_star(group: pa.Table) -> pa.Table:
@@ -119,17 +155,26 @@ def substring_candidate_edges(
     vectorized aggregate + broadcast pattern by default (see lsh.py), with a
     ``groupby`` map_groups fallback.
     """
+    import pyarrow.compute as pc
+
     fp_len = max(4, min_match_length - winnow_window + 1)
     kw = dict(
         text_field=text_field, id_field=id_field, fp_len=fp_len, winnow_window=winnow_window
     )
-    local = ds.map_batches(
-        functools.partial(_local_substring, emit="edges", **kw),
+    # one fingerprinting pass (the rolling-hash scan dominates), materialized;
+    # edges/reps are cheap validity filters over it
+    combined = ds.map_batches(
+        functools.partial(_local_substring, emit="both", **kw),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    local = combined.map_batches(
+        lambda b: b.select(["src", "dst"]).filter(pc.is_valid(b.column("src"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    reps = ds.map_batches(
-        functools.partial(_local_substring, emit="reps", **kw),
+    reps = combined.map_batches(
+        lambda b: b.select(["fp", "rep"]).filter(pc.is_valid(b.column("rep"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -247,3 +247,25 @@ def test_per_extension_stage(ray_session):
     out = F.per_extension_stage(ds, rules).take_all()
     kept = sorted(r["text"][:5] for r in out)
     assert kept == ["alpha", "short"]
+
+
+def test_token_count_and_histogram_filters(ray_session):
+    import ray
+
+    from curator_ray.stages.filters import histogram_filter, token_count_filter
+    from curator_ray.stages.text import token_count
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": ["one two three", "a", "日本語のテキストです", "four five six seven eight"],
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    kept = token_count_filter(ds, min_tokens=3, max_tokens=5).take_all()
+    want = [r for r in tbl.to_pylist() if 3 <= token_count(pa.array([r["text"]])).to_pylist()[0] <= 5]
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in want)
+
+    kept = histogram_filter(ray.data.from_arrow(tbl), threshold=0.8).take_all()
+    # the Japanese doc falls outside the printable-ASCII trusted set
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 3]
