@@ -507,16 +507,19 @@ def q_ivf_ann_topk(sf_dir: str):
 
 def q_image_semantic_dedup(sf_dir: str):
     """Reference image-dedup tutorial flow (image_dedup_example.py:33-120):
-    decode+embed (actor pool) -> semantic dedup over the embeddings."""
+    embed (actor pool) -> aesthetic filter -> NSFW filter -> semantic dedup
+    over the surviving embeddings."""
     from curator_ray.config import SemanticDedupConfig
     from curator_ray.stages.ids import with_ids
-    from curator_ray.stages.image import embed_stage
+    from curator_ray.stages.image import aesthetic_filter_stage, embed_stage, nsfw_filter_stage
     from curator_ray.stages.semantic import semantic_duplicate_ids
     import ray
 
     ds = with_ids(ray.data.read_parquet(_synth_dir(sf_dir)), key_field="image_id")
-    emb = embed_stage(ds, dim=64).select_columns(["_id", "embedding"]).materialize()
-    removal, _ = semantic_duplicate_ids(emb, SemanticDedupConfig(n_clusters=8, eps=1e-6))
+    emb = embed_stage(ds, dim=64)
+    kept = nsfw_filter_stage(aesthetic_filter_stage(emb, threshold=2.0), threshold=0.98)
+    kept = kept.select_columns(["_id", "embedding"]).materialize()
+    removal, _ = semantic_duplicate_ids(kept, SemanticDedupConfig(n_clusters=8, eps=1e-6))
     return _collect(removal)
 
 

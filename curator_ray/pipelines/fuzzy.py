@@ -4,8 +4,9 @@ Ray-Data-native counterpart of the reference's
 ``FuzzyDeduplicationWorkflow.run()`` (``fuzzy/workflow.py:292-394``). Each
 pipeline boundary that the reference materializes to its parquet ``cache_path``
 is either a streaming ``write_parquet`` + re-read (when ``cache_dir`` is
-given — resumable, and required because the LSH stage consumes the signature
-table twice) or an object-store ``materialize()`` for in-memory runs.
+given — resumable) or an object-store ``materialize()`` when several band
+waves re-consume the signatures; a single all-bands wave keeps the
+signatures lazy (one consumer, fused into the banding tasks).
 """
 
 from __future__ import annotations
@@ -23,17 +24,20 @@ def fuzzy_candidate_edges(ds_with_ids, cfg: FuzzyDedupConfig, cache_dir: str | N
     import ray
 
     sig = minhash_stage(ds_with_ids, cfg)
+    step = max(1, cfg.bands_per_iteration)
+    single_wave = step >= cfg.num_bands
     if cache_dir:
         sig_path = os.path.join(cache_dir, "minhash")
         os.makedirs(sig_path, exist_ok=True)
         sig.write_parquet(sig_path)
         sig = ray.data.read_parquet(sig_path)
-    else:
+    elif not single_wave:
+        # multiple band waves re-consume the signatures; keep them lazy when
+        # one wave covers all bands (the banding kernel reads them exactly
+        # once, so the signature matrix never hits the object store)
         sig = sig.materialize()
 
     edges = None
-    bands = range(cfg.num_bands)
-    step = max(1, cfg.bands_per_iteration)
     for start in range(0, cfg.num_bands, step):
         wave = lsh_candidate_edges(sig, cfg, band_range=range(start, min(start + step, cfg.num_bands)))
         edges = wave if edges is None else edges.union(wave)

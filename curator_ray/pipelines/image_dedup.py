@@ -248,7 +248,12 @@ def _streaming_workflow(
 
     sig_cols = ["image_id", "caption", "phash"]
     sigs = with_ids(ray.data.read_parquet(input_path, columns=sig_cols), key_field="image_id")
-    mh = minhash_stage(sigs, fuzzy, keep_fields=(fuzzy.id_field,)).materialize()
+    # minhash stays LAZY: the one-pass banding kernel consumes the signatures
+    # exactly once, so read -> ids -> minhash -> banding fuse into one task
+    # chain and the (rows x num_hashes x 4B) signature matrix never touches
+    # the object store — plasma first-touch page faults are a measured
+    # serial bottleneck in this sandbox (PERF.md)
+    mh = minhash_stage(sigs, fuzzy, keep_fields=(fuzzy.id_field,))
 
     edges = lsh_candidate_edges(mh, fuzzy)
     sigs_mat = sigs.materialize() if use_substring else sigs
