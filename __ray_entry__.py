@@ -612,6 +612,66 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_text_embeddings(sf_dir: str):
+    """EmbeddingCreator composite (reference embedders/base.py:177): tokenizer
+    actor pool -> mean-pooled L2-normalized stub embedding. Rows-only (the
+    hashed embedding table is not SQL-expressible)."""
+    from curator_ray.stages.embedder import embedding_creator_stage
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return embedding_creator_stage(ds, dim=16).map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"), "embeddings": b.column("embeddings")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _ft_model(labels: list[str], name: str) -> str:
+    import os
+
+    from curator_ray.stages.embedder import train_fasttext_stub_model
+
+    path = f"/tmp/curator_ray_ft_{name}.bin"
+    if not os.path.exists(path):
+        train_fasttext_stub_model(path, labels)
+    return path
+
+
+def q_fasttext_quality(sf_dir: str):
+    """FastText model-file path (fasttext_filters.py:23-55): the .bin loads
+    once per worker in the actor pool; scored + Pareto-filtered."""
+    from curator_ray.stages.embedder import fasttext_quality_filter
+
+    path = _ft_model(["__label__hq", "__label__lq"], "quality")
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return fasttext_quality_filter(ds, path).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "fasttext_quality_score": b.column("fasttext_quality_score")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_fasttext_langid(sf_dir: str):
+    """FastTextLangId (fasttext_filters.py:58-90) with the stub model file."""
+    from curator_ray.stages.embedder import fasttext_langid
+
+    path = _ft_model(["__label__en", "__label__de", "__label__fr"], "langid")
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return fasttext_langid(ds, path, min_langid_score=0.0, filter_rows=False).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "fasttext_lang": b.column("fasttext_lang"),
+                "fasttext_lang_score": b.column("fasttext_lang_score"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -664,6 +724,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q_simhash_docs,
         "quality_classifier": q_quality_classifier,
         "fineweb_edu": q_fineweb_edu,
+        "text_embeddings": q_text_embeddings,
+        "fasttext_quality": q_fasttext_quality,
+        "fasttext_langid": q_fasttext_langid,
     }
 
 

@@ -24,11 +24,68 @@ import subprocess
 import sys
 import time
 
+
+def _pin_host_memory() -> None:
+    """Keep freed pages inside every process instead of returning them to the
+    guest kernel.
+
+    This sandbox VM boots with virtio free-page reporting enabled
+    (``page_reporting_order=11`` on the kernel command line): any >=8 MB block
+    of freed guest memory is handed back to the host, and the NEXT allocation
+    re-faults it through the host's globally-serialized memory path — measured
+    at 0.09-0.43 GB/s and ANTI-scaling with concurrency (PERF.md). glibc's
+    default malloc munmaps every large (numpy/Arrow) buffer on free, so each
+    batch re-pays the host fault. Pinning = fault once per high-water mark:
+
+    - ``MALLOC_MMAP_MAX_=0``: large allocations come from the brk heap, not
+      fresh mmaps;
+    - ``MALLOC_TRIM_THRESHOLD_`` huge + ``MALLOC_ARENA_MAX=1``: the heap never
+      shrinks and single-arena keeps it contiguous;
+    - ``ARROW_DEFAULT_MEMORY_POOL=system``: Arrow buffers use malloc (the
+      pinned heap) instead of jemalloc's decaying extents.
+
+    Env vars cover every child (raylet -> workers); mallopt covers THIS
+    process, whose env was fixed at exec. A real multi-node cluster does not
+    need any of this — each node owns its memory — but production Ray images
+    apply the same class of tuning (jemalloc with decay disabled), so this is
+    deployment configuration, not a benchmark trick.
+    """
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "2147483647")
+    os.environ.setdefault("MALLOC_ARENA_MAX", "1")
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.mallopt(ctypes.c_int(-4), ctypes.c_int(0))  # M_MMAP_MAX = 0
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(0x7FFFFFFF))  # M_TRIM_THRESHOLD
+    except Exception:
+        pass  # non-glibc platform: env vars still cover the workers
+
+
+_pin_host_memory()  # must run before ray/pyarrow are imported anywhere
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+OBJECT_STORE_GB = float(os.environ.get("GRAFT_OBJECT_STORE_GB", "12"))
+
+
+def _ray_init(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        # a right-sized object store can be FULLY pre-faulted by _warm_workers
+        # (40 GB default pool cannot, at 0.2-0.4 GB/s host fault bandwidth)
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            object_store_memory=int(OBJECT_STORE_GB * (1 << 30)),
+        )
 
 
 def _sf() -> float:
@@ -74,21 +131,21 @@ def _warm_workers(num_cpus: int) -> None:
     def touch(batch: pa.Table) -> pa.Table:
         from curator_ray.functions import minhash_kernel, murmur, shingles, winnow  # noqa: F401
 
-        buf = np.ones(120_000_000, dtype=np.uint8)
-        buf[:: 4096] = 2  # fault every worker-heap page in
-        # a fat output block pre-faults the plasma pool's pages, which the
-        # store then reuses for the real pipeline's objects without faulting
-        out = np.zeros(150_000_000, dtype=np.uint8)
-        out[:: 4096] = buf[0]
-        return pa.table({"x": pa.array([out.tobytes()], pa.binary())})
+        buf = np.ones(220_000_000, dtype=np.uint8)
+        buf[:: 4096] = 2  # fault the worker-heap high-water mark in; with
+        # MALLOC_MMAP_MAX_=0 + no trim these pages stay in the arena forever
+        return pa.table({"x": pa.array([int(buf[0])], pa.int64())})
 
     ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
         touch, batch_format="pyarrow", batch_size=1
-    ).map_batches(
-        lambda b: pa.table({"n": pa.array([b.num_rows], pa.int64())}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
     ).count()
+    # pre-fault ~the whole plasma pool with LIVE objects (freed-object space is
+    # reused by dlmalloc, so only held refs push the touched high-water mark)
+    chunk = 256 * (1 << 20)
+    n_chunks = max(1, int(OBJECT_STORE_GB * (1 << 30) * 0.9) // chunk)
+    block = np.ones(chunk, dtype=np.uint8)
+    refs = [ray.put(block) for _ in range(n_chunks)]
+    del refs, block
 
 
 def fault_bandwidth_probe() -> float:
@@ -231,8 +288,7 @@ def bench_semantic() -> float:
 def run_suite() -> dict:
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    _ray_init(NUM_CPUS)
     sf = _sf()
     n_img = max(20_000, int(10_000_000 * sf))
     queries: dict[str, float] = {}
@@ -345,8 +401,7 @@ def _update_baseline_md(summary: dict) -> None:
 def run_flagship_only() -> dict:
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    _ray_init(NUM_CPUS)
     sf = _sf()
     # scaling runs use a larger table (per-node volume closer to the 100 TB
     # regime) so fixed driver/job overhead stops dominating the measurement

@@ -242,9 +242,21 @@ def _streaming_workflow(
 ) -> dict:
     """Checkpoint-free path: one object-store materialization of the
     signature projection, lazily-unioned edge sources, one CC pass."""
+    import time
+
     import ray
 
     from ..stages.substring import substring_candidate_edges
+
+    phase_log = os.environ.get("GRAFT_PHASE_LOG")
+    t_prev = time.time()
+
+    def _phase(name: str) -> None:
+        nonlocal t_prev
+        if phase_log:
+            now = time.time()
+            print(f"[phase] {name}: {now - t_prev:.2f}s", file=__import__("sys").stderr, flush=True)
+            t_prev = now
 
     sig_cols = ["image_id", "caption", "phash"]
     sigs = with_ids(ray.data.read_parquet(input_path, columns=sig_cols), key_field="image_id")
@@ -257,13 +269,16 @@ def _streaming_workflow(
 
     edges = lsh_candidate_edges(mh, fuzzy)
     sigs_mat = sigs.materialize() if use_substring else sigs
+    _phase("sigs_materialize")
     edges = edges.union(simhash_candidate_edges(sigs_mat, simhash))
     if use_substring:
         edges = edges.union(substring_candidate_edges(sigs_mat, min_match_length=substring_min_length))
 
     labels = connected_components(edges, fuzzy)
+    _phase("edges+cc")
     removal = removal_ids(labels)
     counters = {"num_duplicates": removal.count()}
+    _phase("removal_count")
     if write_survivors:
         surv_dir = os.path.join(output_path, "survivors")
         import shutil

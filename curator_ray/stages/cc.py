@@ -82,11 +82,20 @@ def _dedup_edges_batch(batch: pa.Table) -> pa.Table:
 
 def connected_components(edges, cfg: FuzzyDedupConfig):
     """Edge Dataset -> label Dataset[(v, group)]. Chooses driver vs distributed."""
+    import os
+    import sys
+    import time
+
+    phase_log = os.environ.get("GRAFT_PHASE_LOG")
+    t0 = time.time()
     # normalize + block-local dedup first (cheap, shrinks everything downstream;
     # cross-block duplicate edges are tolerated by both algorithms)
     edges = edges.map_batches(_dedup_edges_batch, batch_format="pyarrow", zero_copy_batch=True)
     edges = edges.materialize()
     n_edges = edges.count()
+    if phase_log:
+        print(f"[phase] cc.edges_materialize ({n_edges} edges): {time.time() - t0:.2f}s", file=sys.stderr, flush=True)
+        t0 = time.time()
     if n_edges == 0:
         return None
     if n_edges <= cfg.cc_driver_fallback_edges:
@@ -97,9 +106,12 @@ def connected_components(edges, cfg: FuzzyDedupConfig):
         verts, labels = union_find_numpy(pairs[:, 0], pairs[:, 1])
         import ray
 
-        return ray.data.from_arrow(
+        out = ray.data.from_arrow(
             pa.table({"v": pa.array(verts, pa.int64()), "group": pa.array(labels, pa.int64())})
         )
+        if phase_log:
+            print(f"[phase] cc.driver_union_find: {time.time() - t0:.2f}s", file=sys.stderr, flush=True)
+        return out
     return _hashmin_distributed(edges, cfg)
 
 
