@@ -672,6 +672,24 @@ def q_fasttext_langid(sf_dir: str):
     )
 
 
+def q_split_docs(sf_dir: str):
+    """DocumentSplitter (reference modules/splitter.py:22): one row per
+    space-separated segment with its ordinal."""
+    from curator_ray.stages.text import document_splitter
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return document_splitter(ds, "text", " ")
+
+
+def q_split_join_roundtrip(sf_dir: str):
+    """DocumentSplitter -> DocumentJoiner identity (modules/joiner.py:24):
+    re-joining the ordered segments must reproduce the original text."""
+    from curator_ray.stages.text import document_joiner, document_splitter
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return document_joiner(document_splitter(ds, "text", " "), "text", " ")
+
+
 # --------------------------------------------------------------------------
 
 
@@ -727,6 +745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_embeddings": q_text_embeddings,
         "fasttext_quality": q_fasttext_quality,
         "fasttext_langid": q_fasttext_langid,
+        "split_docs": q_split_docs,
+        "split_join_roundtrip": q_split_join_roundtrip,
     }
 
 
@@ -944,4 +964,11 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT query_id, vec_id, ROW_NUMBER() OVER "
             "  (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) WHERE rank <= 10"
         ),
+        "split_docs": (
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) "
+            "SELECT doc_id, "
+            "unnest(list_transform(range(1, array_length(parts)+1), x -> x - 1)) AS segment_id, "
+            "unnest(parts) AS text FROM s"
+        ),
+        "split_join_roundtrip": "SELECT doc_id, text FROM documents",
     }
