@@ -325,8 +325,13 @@ def run_scaling() -> dict:
     inflates wall time (observed up to ~3x on identical back-to-back runs, see
     PERF.md), so min-of-N isolates the engine's own scaling behavior."""
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # N-vs-4N proxy arms. Default 8 vs 32; override e.g. GRAFT_SCALING_CPUS=2,8
+    # when the larger arm saturates the sandbox's shared fault path (PERF.md).
+    arms = tuple(
+        int(c) for c in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
     results = {}
-    for cpus in (8, 32):
+    for cpus in arms:
         best = None
         for _ in range(repeats):
             env = dict(
@@ -347,24 +352,29 @@ def run_scaling() -> dict:
             if best is None or res["value"] < best["value"]:
                 best = res
         results[cpus] = best
-    t8, t32 = results[8]["value"], results[32]["value"]
-    n = results[32]["flagship_rows"]
-    thr8, thr32 = n / t8, n / t32
-    eff = (thr32 / thr8) / (32 / 8)
+    lo, hi = arms
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    n = results[hi]["flagship_rows"]
+    thr_lo, thr_hi = n / t_lo, n / t_hi
+    eff = (thr_hi / thr_lo) / (hi / lo)
     summary = {
-        "metric": "scaling efficiency 8->32 cpus (N vs 4N proxy)",
+        "metric": f"scaling efficiency {lo}->{hi} cpus (N vs {hi // lo}N proxy)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "queries": {"t_8cpu": round(t8, 2), "t_32cpu": round(t32, 2)},
+        "queries": {f"t_{lo}cpu": round(t_lo, 2), f"t_{hi}cpu": round(t_hi, 2)},
         "sf": _sf(),
-        "num_cpus": 32,
-        "throughput_8cpu_images_per_sec": round(thr8, 1),
-        "throughput_32cpu_images_per_sec": round(thr32, 1),
+        "num_cpus": hi,
+        "arm_cpus": [lo, hi],
+        f"throughput_{lo}cpu_images_per_sec": round(thr_lo, 1),
+        f"throughput_{hi}cpu_images_per_sec": round(thr_hi, 1),
+        # kept under fixed keys too so downstream readers don't key on arm size
+        "throughput_lo_images_per_sec": round(thr_lo, 1),
+        "throughput_hi_images_per_sec": round(thr_hi, 1),
         # substrate context: fresh-page fault bandwidth measured at each arm
         # (on a real N-vs-4N cluster this resource scales with nodes; here it
         # is shared and serializes memory-heavy stages)
-        "fault_gbps_8cpu": results[8].get("fault_gbps"),
-        "fault_gbps_32cpu": results[32].get("fault_gbps"),
+        "fault_gbps_lo": results[lo].get("fault_gbps"),
+        "fault_gbps_hi": results[hi].get("fault_gbps"),
     }
     _update_baseline_md(summary)
     return summary
@@ -376,16 +386,17 @@ def _update_baseline_md(summary: dict) -> None:
         text = open(path).read()
     except OSError:
         text = ""
+    lo, hi = summary.get("arm_cpus", [8, 32])
     marker = "\n## Measured scaling (this engine)\n"
     block = (
         f"{marker}\n"
         f"- flagship image-dedup at sf={summary['sf']}: "
-        f"{summary['throughput_8cpu_images_per_sec']} images/s @ 8 cpus, "
-        f"{summary['throughput_32cpu_images_per_sec']} images/s @ 32 cpus, "
-        f"scaling efficiency (8→32, N vs 4N proxy) = {summary['value']}\n"
+        f"{summary['throughput_lo_images_per_sec']} images/s @ {lo} cpus, "
+        f"{summary['throughput_hi_images_per_sec']} images/s @ {hi} cpus, "
+        f"scaling efficiency ({lo}→{hi}, N vs {hi // lo}N proxy) = {summary['value']}\n"
         f"- substrate fresh-page fault bandwidth during the same runs: "
-        f"{summary.get('fault_gbps_8cpu')} GB/s @ 8 cpus vs "
-        f"{summary.get('fault_gbps_32cpu')} GB/s @ 32 cpus — the shared\n"
+        f"{summary.get('fault_gbps_lo')} GB/s @ {lo} cpus vs "
+        f"{summary.get('fault_gbps_hi')} GB/s @ {hi} cpus — the shared\n"
         f"  single-node fault path ANTI-scales with concurrency, so memory-bound\n"
         f"  stages cannot speed up in this proxy; on a real N→4N cluster this\n"
         f"  resource scales with node count (see PERF.md round-2 notes)\n"

@@ -15,8 +15,8 @@ Reference counterparts:
   -> broadcast anti-join on ``image_id`` strings, aggregating removal-id
   parquet files exactly like the reference's ``setup()``.
 
-PNG decoding is real (curator_ray.functions.png); JPEG raises
-NotImplementedError (no codec in this environment) as a clearly-marked stub.
+PNG decoding is real (curator_ray.functions.png); JPEG decoding is real too
+(curator_ray.functions.jpeg — pure-numpy baseline sequential codec).
 """
 
 from __future__ import annotations
@@ -35,9 +35,11 @@ def decode_image(blob: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(blob)
     if fmt in ("jpeg", "jpg"):
-        # STUB: no JPEG codec (PIL/libjpeg absent). A real deployment plugs
-        # pillow-simd / nvJPEG here; the stage contract is unchanged.
-        raise NotImplementedError("JPEG decode requires an image codec not present in this sandbox")
+        # pure-numpy baseline JPEG (functions/jpeg.py); a GPU deployment
+        # swaps in DALI/nvJPEG here without changing the stage contract
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise ValueError(f"unknown image format: {fmt}")
 
 

@@ -35,8 +35,16 @@ def test_decode_stage(ray_session, img_ds_table):
         assert r["phash_recomputed"] == r["phash"]
 
 
-def test_jpeg_decode_stub():
-    with pytest.raises(NotImplementedError):
+def test_jpeg_decode_real():
+    # JPEG decode is real now (functions/jpeg.py): round-trip through the stage API
+    from curator_ray.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    px = decode_image(encode_jpeg(img, quality=95), "jpeg")
+    assert px.shape == (24, 24, 3)
+    # truncated/garbage stream still raises cleanly
+    with pytest.raises(Exception):
         decode_image(b"\xff\xd8\xff", "jpeg")
 
 
