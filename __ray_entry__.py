@@ -681,6 +681,24 @@ def q_split_docs(sf_dir: str):
     return document_splitter(ds, "text", " ")
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard near-dup pairs at >= 0.8 (graft-required
+    dedup family member; exact ground truth for the MinHash path)."""
+    from curator_ray.stages.jaccard import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, text_field="text", id_field="doc_id", n=3, threshold=0.8)
+
+
+def q_cosine_dups(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs at >= 0.4 (brute baseline of the
+    semantic dedup family; IVF/LSH are its scale paths)."""
+    from curator_ray.stages.ann import cosine_dup_pairs
+
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    return cosine_dup_pairs(ds, threshold=0.4, id_field="vec_id", embedding_field="embedding")
+
+
 def q_split_join_roundtrip(sf_dir: str):
     """DocumentSplitter -> DocumentJoiner identity (modules/joiner.py:24):
     re-joining the ordered segments must reproduce the original text."""
@@ -747,6 +765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fasttext_langid": q_fasttext_langid,
         "split_docs": q_split_docs,
         "split_join_roundtrip": q_split_join_roundtrip,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_dups": q_cosine_dups,
     }
 
 
@@ -971,4 +991,21 @@ def oracle_sql() -> dict[str, str]:
             "unnest(parts) AS text FROM s"
         ),
         "split_join_roundtrip": "SELECT doc_id, text FROM documents",
+        "ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents), "
+            "grams AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+            "  FOR i IN range(1, len(w)-1)]) AS g FROM toks WHERE len(w) >= 3), "
+            "sizes AS (SELECT doc_id, len(g) AS n FROM grams), "
+            "ex AS (SELECT doc_id, unnest(g) AS gram FROM grams), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM ex a "
+            "  JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8 ORDER BY id_a, id_b"
+        ),
+        "cosine_dups": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b "
+            "ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 ORDER BY id_a, id_b"
+        ),
     }

@@ -245,3 +245,52 @@ def lsh_topk(
     return local_ds.groupby("query_id").map_groups(
         functools.partial(_merge_topk, k=k), batch_format="pyarrow"
     )
+
+
+def _corpus_matrix(ds, id_field: str, embedding_field: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, normalized matrix) of the whole corpus, built block-by-block."""
+    ids_parts, mat_parts = [], []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        if t.num_rows == 0:
+            continue
+        ids_parts.append(t.column(id_field).to_numpy())
+        mat_parts.append(_emb_matrix(t, embedding_field))
+    if not ids_parts:
+        return np.zeros(0, np.int64), np.zeros((0, 1))
+    return np.concatenate(ids_parts), _normalize(np.concatenate(mat_parts))
+
+
+def cosine_dup_pairs(ds, threshold: float, id_field: str = "vec_id", embedding_field: str = "embedding"):
+    """Exact embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine similarity >= threshold.
+
+    Brute-force baseline of the dedup family (graft requirement): the
+    normalized corpus matrix is broadcast ONCE (``ray.put``), each
+    ``map_batches`` task computes its block x corpus matmul and emits only
+    the pairs above threshold — O(n^2 / blocks) compute per task, O(hits)
+    shuffle. The scale path at 10^9+ rows is the IVF/LSH bucketed variants
+    above (candidates within a bucket only) or ``semantic_duplicate_ids``;
+    this exact form is the oracle-checkable ground truth for them.
+    """
+    import ray
+
+    ids_all, m_all = _corpus_matrix(ds, id_field, embedding_field)
+    ref = ray.put((ids_all, m_all))
+
+    def local(batch: pa.Table) -> pa.Table:
+        corpus_ids, corpus = ray.get(ref)
+        ids = batch.column(id_field).to_numpy()
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        if len(ids) == 0 or len(corpus_ids) == 0:
+            return empty
+        emb = _normalize(_emb_matrix(batch, embedding_field))
+        sims = emb @ corpus.T  # (batch, n)
+        bi, cj = np.nonzero(sims >= threshold)
+        a = ids[bi]
+        b = corpus_ids[cj]
+        keep = a < b  # each unordered pair exactly once, no self-pairs
+        a, b = a[keep], b[keep]
+        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+    return ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).sort(["id_a", "id_b"])

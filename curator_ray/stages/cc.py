@@ -70,14 +70,29 @@ def union_find_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.n
     return verts, verts[labels]
 
 
+def dedup_pairs(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (lo, hi) pairs via lexsort + run mask.
+
+    ``np.unique(..., axis=0)`` compares rows as void scalars (measured 9-18 s
+    on 2.4M pairs — it was the dominant driver-serial term in the scaling
+    campaign); two int64 lexsort keys + a neighbor mask do the same job in
+    ~100 ms."""
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    if len(lo):
+        keep = np.concatenate([[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+        lo, hi = lo[keep], hi[keep]
+    return lo, hi
+
+
 def _dedup_edges_batch(batch: pa.Table) -> pa.Table:
     src = batch.column("src").to_numpy()
     dst = batch.column("dst").to_numpy()
     lo = np.minimum(src, dst)
     hi = np.maximum(src, dst)
     keep = lo != hi
-    pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
-    return pa.table({"src": pa.array(pairs[:, 0], pa.int64()), "dst": pa.array(pairs[:, 1], pa.int64())})
+    lo, hi = dedup_pairs(lo[keep], hi[keep])
+    return pa.table({"src": pa.array(lo, pa.int64()), "dst": pa.array(hi, pa.int64())})
 
 
 def connected_components(edges, cfg: FuzzyDedupConfig):
@@ -100,10 +115,11 @@ def connected_components(edges, cfg: FuzzyDedupConfig):
         return None
     if n_edges <= cfg.cc_driver_fallback_edges:
         tbl = pa.concat_tables([pa.table(b) for b in edges.iter_batches(batch_format="pyarrow")])
-        src = tbl.column("src").to_numpy()
-        dst = tbl.column("dst").to_numpy()
-        pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
-        verts, labels = union_find_numpy(pairs[:, 0], pairs[:, 1])
+        # no global pair dedup here: union_find_numpy is correct on duplicate
+        # edges (they only repeat a min), and the batch-local dedup upstream
+        # already removed the bulk — a driver-side axis-0 unique cost 9-18 s
+        # of pure serial time per run (PERF.md scaling campaign)
+        verts, labels = union_find_numpy(tbl.column("src").to_numpy(), tbl.column("dst").to_numpy())
         import ray
 
         out = ray.data.from_arrow(

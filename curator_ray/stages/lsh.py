@@ -30,6 +30,7 @@ import functools
 import numpy as np
 import pyarrow as pa
 
+from .cc import dedup_pairs
 from ..config import FuzzyDedupConfig
 from ..functions.murmur import murmur3_x64_128
 
@@ -120,8 +121,7 @@ def _local_bands_batch(
             mask = sid != member_src
             # the same pair is emitted by every band that buckets it together —
             # dedup within the batch (up to num_bands x fewer edge rows shuffled)
-            pairs = np.unique(np.stack([member_src[mask], sid[mask]], axis=1), axis=0)
-            src, dst = pairs[:, 0], pairs[:, 1]
+            src, dst = dedup_pairs(member_src[mask], sid[mask])
         else:
             src = dst = np.zeros(0, np.int64)
         if emit == "edges":

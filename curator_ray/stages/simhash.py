@@ -32,6 +32,7 @@ import logging
 import numpy as np
 import pyarrow as pa
 
+from .cc import dedup_pairs
 from ..config import SimHashConfig
 from ..functions.phash import popcount64
 
@@ -84,8 +85,7 @@ def _verified_edges(ids: np.ndarray, ph: np.ndarray, threshold: int, cap: int = 
         a = np.concatenate(srcs)
         b = np.concatenate(dsts)
         if len(a):
-            pairs = np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)], axis=1), axis=0)
-            return pairs[:, 0], pairs[:, 1]
+            return dedup_pairs(np.minimum(a, b), np.maximum(a, b))
         return a, b
     xor = u[:, None] ^ u[None, :]
     d = popcount64(xor.ravel()).reshape(m, m)
@@ -146,8 +146,7 @@ def _local_simhash(batch: pa.Table, *, cfg: SimHashConfig, emit: str) -> pa.Tabl
     dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
     if want_edges and len(src):
         # the same verified pair can surface from several bands
-        pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
-        src, dst = pairs[:, 0], pairs[:, 1]
+        src, dst = dedup_pairs(src, dst)
     if emit == "edges":
         return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
     # int64 band/key columns: Ray shuffles pickle uint64 above int64 range

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.winnow import batch_fingerprints, doc_fingerprints  # noqa: F401
+from .cc import dedup_pairs
 
 
 def _local_substring(
@@ -34,9 +35,9 @@ def _local_substring(
             return _BOTH_EMPTY
         return pa.table({"fp": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())})
     # per-doc unique fingerprints
-    pairs = np.unique(np.stack([doc_idx, all_fp.view(np.int64)], axis=1), axis=0)
-    fp = pairs[:, 1].view(np.uint64)
-    rid = ids[pairs[:, 0]]
+    d_idx, fp64 = dedup_pairs(doc_idx, all_fp.view(np.int64))
+    fp = fp64.view(np.uint64)
+    rid = ids[d_idx]
     order = np.argsort(fp, kind="stable")
     sfp, sid = fp[order], rid[order]
     starts = np.flatnonzero(np.concatenate([[True], sfp[1:] != sfp[:-1]]))
@@ -47,8 +48,7 @@ def _local_substring(
         member_src = np.repeat(run_min, sizes)
         mask = sid != member_src
         # many shared fingerprints emit the same pair — dedup within the batch
-        epairs = np.unique(np.stack([member_src[mask], sid[mask]], axis=1), axis=0)
-        src, dst = epairs[:, 0], epairs[:, 1]
+        src, dst = dedup_pairs(member_src[mask], sid[mask])
         if emit == "edges":
             return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
     # int64 view: Ray aggregates pickle uint64 columns above the int64 range
