@@ -193,3 +193,27 @@ def test_removal_broadcast_vs_join_equivalence(ray_session):
     assert sb == sj
     assert len(sb) == 5000 - 1200
     assert not (set(removal_ids) & {i for i, _ in sb})
+
+
+def test_distributed_cc_nonconvergence_warns(ray_session, caplog):
+    """A chain graph needs ~diameter rounds; with cc_max_iterations=1 the
+    distributed path must warn about possible under-removal instead of
+    silently returning non-minimal labels (ADVICE r1)."""
+    import logging
+
+    import pyarrow as pa
+    import ray.data
+
+    from curator_ray.config import FuzzyDedupConfig
+    from curator_ray.stages.cc import connected_components
+
+    n = 64
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(list(range(n - 1)), pa.int64()),
+                  "dst": pa.array(list(range(1, n)), pa.int64())})
+    )
+    cfg = FuzzyDedupConfig(cc_driver_fallback_edges=0, cc_num_partitions=4, cc_max_iterations=1)
+    with caplog.at_level(logging.WARNING, logger="curator_ray.stages.cc"):
+        labels = connected_components(edges, cfg)
+        labels.count()
+    assert any("did not converge" in r.message for r in caplog.records)
