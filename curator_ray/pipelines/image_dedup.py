@@ -268,11 +268,16 @@ def _streaming_workflow(
     mh = minhash_stage(sigs, fuzzy, keep_fields=(fuzzy.id_field,))
 
     edges = lsh_candidate_edges(mh, fuzzy)
+    _phase("lsh_edges_build")  # banding + dup-bucket sortagg execute here
     sigs_mat = sigs.materialize() if use_substring else sigs
     _phase("sigs_materialize")
-    edges = edges.union(simhash_candidate_edges(sigs_mat, simhash))
+    sh_edges = simhash_candidate_edges(sigs_mat, simhash)
+    _phase("simhash_edges_build")
+    edges = edges.union(sh_edges)
     if use_substring:
-        edges = edges.union(substring_candidate_edges(sigs_mat, min_match_length=substring_min_length))
+        ss_edges = substring_candidate_edges(sigs_mat, min_match_length=substring_min_length)
+        _phase("substring_edges_build")
+        edges = edges.union(ss_edges)
 
     labels = connected_components(edges, fuzzy)
     _phase("edges+cc")

@@ -46,19 +46,34 @@ def union_find_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.n
     Fully vectorized HashMin + pointer jumping (no Python loop over edges —
     a driver-side Python union-find on ~10^6 edges costs tens of serial
     seconds and caps scaling efficiency). Labels are dense indices, start as
-    self, and only ever decrease; each outer round scatters the per-edge min
-    to both endpoints and then shortcuts chains (new = new[new]), converging
-    in O(log n) rounds."""
+    self, and only ever decrease; each outer round propagates the per-edge
+    min to both endpoints and then shortcuts chains (new = new[new]),
+    converging in O(log n) rounds.
+
+    The endpoint-min step uses a ONE-TIME incidence sort + per-round
+    ``np.minimum.reduceat`` instead of ``np.minimum.at``: the unbuffered
+    ufunc.at scatter measured 86 s on a 5M-edge random graph where the
+    reduceat formulation takes well under a second per round."""
     verts, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
     n = len(verts)
     E = len(src)
     es, ed = idx[:E], idx[E:]
     labels = np.arange(n, dtype=np.int64)
+    if E == 0:
+        return verts, verts[labels]
+    # static incidence grouping: position i of the endpoint-sorted array
+    # corresponds to edge (order[i] mod E); per-vertex runs never change
+    ends = np.concatenate([es, ed])
+    order = np.argsort(ends, kind="stable")
+    eidx = order % E  # edge index for each sorted endpoint slot
+    ends_s = ends[order]
+    run_starts = np.flatnonzero(np.concatenate([[True], ends_s[1:] != ends_s[:-1]]))
+    touched = ends_s[run_starts]  # vertices with >= 1 incident edge
     while True:
         m = np.minimum(labels[es], labels[ed])  # per-edge min label
+        vmin = np.minimum.reduceat(m[eidx], run_starts)  # min over incident edges
         new = labels.copy()
-        np.minimum.at(new, es, m)
-        np.minimum.at(new, ed, m)
+        new[touched] = np.minimum(new[touched], vmin)
         while True:  # pointer jumping / shortcutting
             nn = new[new]
             if np.array_equal(nn, new):
