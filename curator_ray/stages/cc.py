@@ -119,8 +119,12 @@ def connected_components(edges, cfg: FuzzyDedupConfig):
     phase_log = os.environ.get("GRAFT_PHASE_LOG")
     t0 = time.time()
     # normalize + block-local dedup first (cheap, shrinks everything downstream;
-    # cross-block duplicate edges are tolerated by both algorithms)
-    edges = edges.map_batches(_dedup_edges_batch, batch_format="pyarrow", zero_copy_batch=True)
+    # cross-block duplicate edges are tolerated by both algorithms). The edge
+    # streams arrive as many tiny blocks (filters over sorted tables) — an
+    # explicit batch_size coalesces them so this pass isn't micro-task-bound
+    edges = edges.map_batches(
+        _dedup_edges_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 20
+    )
     edges = edges.materialize()
     n_edges = edges.count()
     if phase_log:

@@ -86,24 +86,21 @@ def _global_keep_first(group: pa.Table) -> pa.Table:
     return pa.table({"_id": pa.array(reps[1:], pa.int64())})
 
 
-class _BroadcastRemovalEmitter:
-    """map_batches actor: a representative whose content hash is in the
-    broadcast duplicated-hash table and is not the global min id is a removal."""
+def _removal_emit(batch: pa.Table, *, packed_ref) -> pa.Table:
+    """A representative whose content hash is in the broadcast duplicated-hash
+    table and is not the global min id is a removal. Plain task (zero-copy
+    per-batch ray.get), not an actor pool — see lsh._star_emit."""
+    import ray
 
-    def __init__(self, packed_ref):
-        import ray
+    from ..functions.packkeys import lookup_sorted, pack_u128
 
-        self.keys, self.vals = ray.get(packed_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.packkeys import lookup_sorted, pack_u128
-
-        hi = batch.column("hash_hi").to_numpy().view(np.uint64)
-        lo = batch.column("hash_lo").to_numpy().view(np.uint64)
-        rep = batch.column("rep").to_numpy()
-        found, minrep = lookup_sorted(self.keys, self.vals, pack_u128(hi, lo))
-        mask = found & (rep != minrep)
-        return pa.table({"_id": pa.array(rep[mask], pa.int64())})
+    keys, vals = ray.get(packed_ref)
+    hi = batch.column("hash_hi").to_numpy().view(np.uint64)
+    lo = batch.column("hash_lo").to_numpy().view(np.uint64)
+    rep = batch.column("rep").to_numpy()
+    found, minrep = lookup_sorted(keys, vals, pack_u128(hi, lo))
+    mask = found & (rep != minrep)
+    return pa.table({"_id": pa.array(rep[mask], pa.int64())})
 
 
 def exact_duplicate_ids(
@@ -148,11 +145,9 @@ def exact_duplicate_ids(
         order = np.argsort(packed)
         ref = ray.put((packed[order], minrep[order]))
         global_removals = reps.map_batches(
-            _BroadcastRemovalEmitter,
-            fn_constructor_args=(ref,),
+            functools.partial(_removal_emit, packed_ref=ref),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 8),
         )
     else:
         global_removals = reps.groupby(["hash_hi", "hash_lo"]).map_groups(

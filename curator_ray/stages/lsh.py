@@ -184,28 +184,27 @@ def _global_star(group: pa.Table) -> pa.Table:
     return pa.table({"src": pa.array(np.full(len(uniq) - 1, m), pa.int64()), "dst": pa.array(uniq[1:], pa.int64())})
 
 
-class _BroadcastStarEmitter:
-    """map_batches actor: emits (bucket_min_rep -> rep) star edges for reps
-    whose bucket is in the broadcast duplicated-bucket table."""
+def _star_emit(batch: pa.Table, *, packed_ref) -> pa.Table:
+    """Emit (bucket_min_rep -> rep) star edges for reps whose bucket is in the
+    broadcast duplicated-bucket table.
 
-    def __init__(self, packed_ref):
-        import ray
+    A plain task, NOT an actor pool: the broadcast is a read-only numpy tuple,
+    so per-batch ``ray.get`` is a zero-copy plasma view, and tasks run in the
+    pre-warmed default worker pool — actor pools here paid a fresh-process
+    page-fault cold start per actor and capped the stage at its pool size."""
+    import ray
 
-        keys, vals = ray.get(packed_ref) if not isinstance(packed_ref, tuple) else packed_ref
-        self.keys, self.vals = keys, vals
+    from ..functions.packkeys import lookup_sorted, pack_u128
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.packkeys import lookup_sorted, pack_u128
-
-        hi = batch.column("bucket_hi").to_numpy().view(np.uint64)
-        lo = batch.column("bucket_lo").to_numpy().view(np.uint64)
-        rep = batch.column("rep").to_numpy()
-        probe = pack_u128(hi, lo)
-        found, minrep = lookup_sorted(self.keys, self.vals, probe)
-        mask = found & (rep != minrep)
-        return pa.table(
-            {"src": pa.array(minrep[mask], pa.int64()), "dst": pa.array(rep[mask], pa.int64())}
-        )
+    keys, vals = ray.get(packed_ref) if not isinstance(packed_ref, tuple) else packed_ref
+    hi = batch.column("bucket_hi").to_numpy().view(np.uint64)
+    lo = batch.column("bucket_lo").to_numpy().view(np.uint64)
+    rep = batch.column("rep").to_numpy()
+    found, minrep = lookup_sorted(keys, vals, pack_u128(hi, lo))
+    mask = found & (rep != minrep)
+    return pa.table(
+        {"src": pa.array(minrep[mask], pa.int64()), "dst": pa.array(rep[mask], pa.int64())}
+    )
 
 
 def _global_star_broadcast(reps, cfg: FuzzyDedupConfig):
@@ -233,11 +232,9 @@ def _global_star_broadcast(reps, cfg: FuzzyDedupConfig):
     order = np.argsort(packed)
     ref = ray.put((packed[order], minrep[order]))
     return reps.map_batches(
-        _BroadcastStarEmitter,
-        fn_constructor_args=(ref,),
+        functools.partial(_star_emit, packed_ref=ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
 
 

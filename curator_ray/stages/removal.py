@@ -16,30 +16,28 @@ distributed hash anti-join.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 
-class _BroadcastAntiFilter:
-    """Actor-pool map_batches callable holding the broadcast removal ids."""
+def _anti_filter(batch: pa.Table, *, removal_ref, id_field: str) -> pa.Table:
+    """Drop rows whose id is in the broadcast (pre-sorted) removal array.
+    Plain task, not an actor pool: per-batch ``ray.get`` of a read-only numpy
+    array is a zero-copy plasma view (see lsh._star_emit for the rationale)."""
+    import ray
 
-    def __init__(self, removal_ref, id_field: str):
-        import ray
-
-        ids = ray.get(removal_ref) if not isinstance(removal_ref, np.ndarray) else removal_ref
-        self.ids = np.sort(np.asarray(ids, dtype=np.int64))
-        self.id_field = id_field
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(self.ids) == 0:
-            return batch
-        col = batch.column(self.id_field).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        pos = np.searchsorted(self.ids, col)
-        hit = np.zeros(len(col), dtype=bool)
-        valid = pos < len(self.ids)
-        hit[valid] = self.ids[pos[valid]] == col[valid]
-        return batch.filter(pa.array(~hit))
+    ids = ray.get(removal_ref) if not isinstance(removal_ref, np.ndarray) else removal_ref
+    if len(ids) == 0:
+        return batch
+    col = batch.column(id_field).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    pos = np.searchsorted(ids, col)
+    hit = np.zeros(len(col), dtype=bool)
+    valid = pos < len(ids)
+    hit[valid] = ids[pos[valid]] == col[valid]
+    return batch.filter(pa.array(~hit))
 
 
 def remove_by_ids(ds, removal_ids_ds, id_field: str = "_id", concurrency: int | None = None):
@@ -59,13 +57,9 @@ def remove_by_ids(ds, removal_ids_ds, id_field: str = "_id", concurrency: int | 
         arr = np.concatenate(parts).astype(np.int64) if parts else np.zeros(0, np.int64)
     ref = ray.put(np.sort(arr))
     return ds.map_batches(
-        _BroadcastAntiFilter,
-        fn_constructor_args=(ref, id_field),
+        functools.partial(_anti_filter, removal_ref=ref, id_field=id_field),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        # elastic pool: a fixed min equal to the cluster size starves the other
-        # operators of CPUs (observed on a 4-cpu cluster)
-        concurrency=(1, concurrency or 8),
     )
 
 

@@ -188,22 +188,18 @@ def _local_simhash(batch: pa.Table, *, cfg: SimHashConfig, emit: str) -> pa.Tabl
     return pa.concat_tables([edges_part, reps_part])
 
 
-class _BucketMemberFilter:
-    """Keep only rep rows whose (band, key) bucket spans >= 2 blocks."""
+def _bucket_member_filter(batch: pa.Table, *, packed_ref) -> pa.Table:
+    """Keep only rep rows whose (band, key) bucket spans >= 2 blocks.
+    Plain task (zero-copy per-batch ray.get) — see lsh._star_emit."""
+    import ray
 
-    def __init__(self, packed_ref):
-        import ray
+    from ..functions.packkeys import lookup_sorted, pack_u128
 
-        self.keys = ray.get(packed_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.packkeys import lookup_sorted, pack_u128
-
-        key = batch.column("key").to_numpy().view(np.uint64)
-        band = batch.column("band").to_numpy().view(np.uint64)
-        probe = pack_u128(key, band)
-        found, _ = lookup_sorted(self.keys, np.zeros(len(self.keys), np.int64), probe)
-        return batch.filter(pa.array(found))
+    keys = ray.get(packed_ref) if not isinstance(packed_ref, np.ndarray) else packed_ref
+    key = batch.column("key").to_numpy().view(np.uint64)
+    band = batch.column("band").to_numpy().view(np.uint64)
+    found, _ = lookup_sorted(keys, np.zeros(len(keys), np.int64), pack_u128(key, band))
+    return batch.filter(pa.array(found))
 
 
 def simhash_candidate_edges(ds, cfg: SimHashConfig, max_broadcast: int = 20_000_000):
@@ -245,11 +241,9 @@ def simhash_candidate_edges(ds, cfg: SimHashConfig, max_broadcast: int = 20_000_
     )
     ref = ray.put(packed)
     members = reps.map_batches(
-        _BucketMemberFilter,
-        fn_constructor_args=(ref,),
+        functools.partial(_bucket_member_filter, packed_ref=ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     # per-bucket Hamming verification via the sortagg pattern (sort + per-block
     # vectorized run scan + driver boundary pass) instead of

@@ -97,28 +97,25 @@ def _global_star(group: pa.Table) -> pa.Table:
     )
 
 
-class _BroadcastFpEmitter:
-    """map_batches actor emitting (min_rep -> rep) for fingerprints present in
-    >= 2 blocks (broadcast sorted uint64 fingerprint -> min rep table)."""
+def _fp_emit(batch: pa.Table, *, packed_ref) -> pa.Table:
+    """Emit (min_rep -> rep) for fingerprints present in >= 2 blocks
+    (broadcast sorted fingerprint -> min rep table). Plain task (zero-copy
+    per-batch ray.get) — see lsh._star_emit."""
+    import ray
 
-    def __init__(self, packed_ref):
-        import ray
-
-        self.keys, self.vals = ray.get(packed_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        fp = batch.column("fp").to_numpy()
-        rep = batch.column("rep").to_numpy()
-        if len(self.keys) == 0:
-            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        pos = np.searchsorted(self.keys, fp)
-        found = np.zeros(len(fp), dtype=bool)
-        valid = pos < len(self.keys)
-        found[valid] = self.keys[pos[valid]] == fp[valid]
-        minrep = np.zeros(len(fp), dtype=np.int64)
-        minrep[found] = self.vals[pos[found]]
-        mask = found & (rep != minrep)
-        return pa.table({"src": pa.array(minrep[mask], pa.int64()), "dst": pa.array(rep[mask], pa.int64())})
+    keys, vals = ray.get(packed_ref)
+    fp = batch.column("fp").to_numpy()
+    rep = batch.column("rep").to_numpy()
+    if len(keys) == 0:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    pos = np.searchsorted(keys, fp)
+    found = np.zeros(len(fp), dtype=bool)
+    valid = pos < len(keys)
+    found[valid] = keys[pos[valid]] == fp[valid]
+    minrep = np.zeros(len(fp), dtype=np.int64)
+    minrep[found] = vals[pos[found]]
+    mask = found & (rep != minrep)
+    return pa.table({"src": pa.array(minrep[mask], pa.int64()), "dst": pa.array(rep[mask], pa.int64())})
 
 
 def _global_fp_broadcast(reps, max_broadcast: int = 20_000_000):
@@ -132,11 +129,9 @@ def _global_fp_broadcast(reps, max_broadcast: int = 20_000_000):
     order = np.argsort(keys)
     ref = ray.put((keys[order], vals[order]))
     return reps.map_batches(
-        _BroadcastFpEmitter,
-        fn_constructor_args=(ref,),
+        functools.partial(_fp_emit, packed_ref=ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
 
 
