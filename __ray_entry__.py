@@ -690,6 +690,19 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, text_field="text", id_field="doc_id", n=3, threshold=0.8)
 
 
+def q_substring_sa_pairs(sf_dir: str):
+    """Distributed cross-partition suffix-array exact-substring dedup
+    (prefix doubling over Dataset sorts, stages/suffix_global.py): doc pairs
+    sharing an exact >= 40-byte span.  The exact, hash-free counterpart of
+    the winnowed substring stage (north-star M4, Lee et al. 2022)."""
+    from curator_ray.stages.ids import with_ids
+    from curator_ray.stages.suffix_global import suffix_array_pair_table
+
+    ds = with_ids(_read(sf_dir, "documents").select_columns(["doc_id", "text"]), key_field="doc_id")
+    t = suffix_array_pair_table(ds, min_match_length=40, text_field="text", id_field="_id")
+    return t.rename_columns(["id_a", "id_b"])
+
+
 def q_cosine_dups(sf_dir: str):
     """Exact embedding-cosine near-dup pairs at >= 0.4 (brute baseline of the
     semantic dedup family; IVF/LSH are its scale paths)."""
@@ -767,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_join_roundtrip": q_split_join_roundtrip,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_dups": q_cosine_dups,
+        "substring_sa_pairs": q_substring_sa_pairs,
     }
 
 
@@ -1007,5 +1021,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b "
             "ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 ORDER BY id_a, id_b"
+        ),
+        # text is ASCII in the synth tables, so char semantics == byte semantics
+        "substring_sa_pairs": (
+            "WITH gs AS (SELECT i FROM range(1, 5001) t(i)), "
+            "grams AS (SELECT d.doc_id AS id, substr(d.text, gs.i::INT, 40) AS g "
+            "          FROM documents d JOIN gs ON gs.i <= length(d.text) - 39) "
+            "SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b "
+            "FROM grams a JOIN grams b USING (g) WHERE a.id <> b.id ORDER BY id_a, id_b"
         ),
     }

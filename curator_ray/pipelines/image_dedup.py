@@ -88,6 +88,7 @@ def image_dedup_workflow(
     simhash: SimHashConfig | None = None,
     use_substring: bool = True,
     substring_min_length: int = 50,
+    substring_exact: bool = False,
     cache_dir: str | None = None,
     write_survivors: bool = True,
     checkpoint: bool = True,
@@ -159,15 +160,21 @@ def image_dedup_workflow(
         )
     )
     if use_substring:
+        # default: winnowed fingerprints (one shuffle — the 100 TB path);
+        # substring_exact swaps in the distributed suffix-array stage
+        # (stages/suffix_global.py): exact, hash-free, 2 sorts/round
+        sub_stage = substring_candidate_edges
+        if substring_exact:
+            from ..stages.suffix_global import suffix_array_candidate_edges as sub_stage
         touched.append(("substring_edges", "all"))
         edge_sets.append(
             _checkpointed(
                 manifest,
                 "substring_edges",
                 "all",
-                fingerprint(input_path, substring_min_length),
+                fingerprint(input_path, substring_min_length, substring_exact),
                 os.path.join(cache_dir, "edges", "substring"),
-                lambda: substring_candidate_edges(sigs, min_match_length=substring_min_length),
+                lambda: sub_stage(sigs, min_match_length=substring_min_length),
             )
         )
 

@@ -26,6 +26,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.phash import phash64
 from ..functions.png import decode_png, encode_png
@@ -245,13 +246,12 @@ class ImageDuplicatesRemoval:
         files = sorted(_glob.glob(os.path.join(removal_parquet_dir, "*.parquet")))
         if not files:
             raise FileNotFoundError(f"no parquet files under {removal_parquet_dir}")
-        ids: set[str] = set()
-        for f in files:
-            ids.update(pq.read_table(f, columns=[id_column]).column(id_column).to_pylist())
-        self.ids = ids
+        tables = [pq.read_table(f, columns=[id_column]) for f in files]
+        col = pa.concat_tables(tables).column(id_column)
+        self.ids = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pa.array([i not in self.ids for i in batch.column("image_id").to_pylist()])
+        mask = pc.invert(pc.is_in(batch.column("image_id"), value_set=self.ids))
         return batch.filter(mask)
 
 

@@ -1,0 +1,611 @@
+"""Distributed cross-partition suffix-array exact-substring stage.
+
+Finds every pair of documents that share an exact byte span of length
+>= ``min_match_length`` — EXACTLY (no winnowing sampling, no hash
+collisions) — via distributed prefix doubling over ``ray.data`` sorts,
+i.e. the suffix-array construction (Manber-Myers doubling) run only to
+prefix depth K = ``min_match_length`` and over all document suffixes at
+once.  Complements ``stages/substring.py`` (winnowed fingerprints, the
+default 100 TB path whose only error source is 2^-64 rolling-hash
+collisions): this stage is the no-asterisk exact path and the
+cross-partition completion of ``functions/suffix_array.py`` (reference
+semantics: Lee et al. 2022, "Deduplicating Training Data Makes Language
+Models Better"; per-partition SA+LCP lives in functions/suffix_array.py).
+
+Algorithm
+---------
+A row per suffix: ``(doc, off, rank)`` where ``rank`` initially packs the
+4 bytes at ``off`` (positions with fewer than 4 remaining bytes cannot
+start nor serve any K>=8 comparison and are never emitted).  Each round
+extends the compared prefix from L to L+k (k <= L, schedule reaches K
+exactly):
+
+1. every row sends its rank to the position k before it
+   (``(doc, off-k, kind=1, rank)``) and itself as ``kind=0``;
+2. one ``sort([doc, off, kind])`` + a vectorized pair scan joins the two
+   messages into ``(doc, off, rank, next, miss)``; a row whose target is
+   absent gets ``miss=1, next=doc`` — a per-document marker, so two
+   truncated suffixes from different documents can never compare equal
+   (the unique-sentinel construction of the classic concatenated SA);
+3. one ``sort([rank, miss, next, doc, off])`` + a two-pass run-numbering
+   scan assigns ``new rank = global index of the run's first row`` and
+   PRUNES: rows in singleton runs and rows with ``miss=1`` are dropped.
+
+Pruning is exact: if suffixes p, p' (different docs) share >= K bytes,
+then at every round their lookup targets p+k, p'+k share >= L bytes, so
+each target sits in a run of size >= 2 with a real (miss=0) pair — the
+whole chain of rows a true match needs survives every prune.  Everything
+else shrinks to the duplicate mass after a couple of rounds, so later
+sorts touch only near-duplicate text, not the corpus.
+
+After the last round, rows with equal (rank, miss=0, next) share exactly
+>= K bytes; the final run scan emits star edges between the distinct
+documents of each run (or all pairs in ``emit="pairs"`` verification
+mode), boundary runs resolved on the driver from O(2/block) rows like
+every other sort-scan in this repo (see cc.sorted_group_min).
+
+Scale notes: per round = 2 Dataset sorts; round-1 volume is O(total
+bytes) rows of 25 B, after which pruning collapses the table.  All
+driver work is O(blocks) per round.  For 100 TB corpora run the winnowed
+stage first (or instead); this stage is the exact verifier / exact path
+for corpora whose duplicate mass fits the shuffle budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.shingles import _string_array_buffers
+
+_K0 = 4  # initial packed-prefix width (bytes)
+
+
+# ---------------------------------------------------------------------------
+# round 0: emit one row per suffix with a packed 4-byte initial rank
+# ---------------------------------------------------------------------------
+
+
+def _emit_positions(batch: pa.Table, *, text_field: str, id_field: str) -> pa.Table:
+    ids = batch.column(id_field).to_numpy()
+    col = batch.column(text_field)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    data, offsets = _string_array_buffers(col)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    npos = np.maximum(lens - (_K0 - 1), 0)
+    total = int(npos.sum())
+    if total == 0:
+        return _EMPTY_ROWS
+    doc = np.repeat(ids, npos)
+    # in-doc offsets 0..len-4 for every doc, one flat arange
+    starts = np.cumsum(npos) - npos
+    off = np.arange(total, dtype=np.int64) - np.repeat(starts, npos)
+    flat = np.repeat(offsets[:-1].astype(np.int64), npos) + off
+    d = data.astype(np.int64)
+    rank = (d[flat] << 24) | (d[flat + 1] << 16) | (d[flat + 2] << 8) | d[flat + 3]
+    return pa.table(
+        {
+            "doc": pa.array(doc, pa.int64()),
+            "off": pa.array(off, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
+_EMPTY_ROWS = pa.table(
+    {
+        "doc": pa.array([], pa.int64()),
+        "off": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# step 1: message emission  (doc, off, kind, rank)
+# ---------------------------------------------------------------------------
+
+
+def _emit_messages(batch: pa.Table, *, k: int) -> pa.Table:
+    doc = batch.column("doc").to_numpy()
+    off = batch.column("off").to_numpy()
+    rank = batch.column("rank").to_numpy()
+    n = len(doc)
+    keep = off >= k  # kind-1 message targets (doc, off-k); negative targets drop
+    m = int(keep.sum())
+    out_doc = np.concatenate([doc, doc[keep]])
+    out_off = np.concatenate([off, off[keep] - k])
+    out_kind = np.zeros(n + m, dtype=np.int8)
+    out_kind[n:] = 1
+    out_rank = np.concatenate([rank, rank[keep]])
+    return pa.table(
+        {
+            "doc": pa.array(out_doc, pa.int64()),
+            "off": pa.array(out_off, pa.int64()),
+            "kind": pa.array(out_kind, pa.int8()),
+            "rank": pa.array(out_rank, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# step 2: pair scan over sort([doc, off, kind])
+# ---------------------------------------------------------------------------
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("doc", pa.int64()),
+        ("off", pa.int64()),
+        ("rank", pa.int64()),
+        ("next", pa.int64()),
+        ("miss", pa.int8()),
+        ("bnd", pa.int8()),
+        ("kind", pa.int8()),
+    ]
+)
+
+
+def _pair_table(doc, off, rank, nxt, miss, bnd=None, kind=None) -> pa.Table:
+    n = len(doc)
+    return pa.table(
+        {
+            "doc": pa.array(doc, pa.int64()),
+            "off": pa.array(off, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+            "next": pa.array(nxt, pa.int64()),
+            "miss": pa.array(miss, pa.int8()),
+            "bnd": pa.array(bnd if bnd is not None else np.zeros(n, np.int8), pa.int8()),
+            "kind": pa.array(kind if kind is not None else np.full(n, -1, np.int8), pa.int8()),
+        }
+    )
+
+
+def _scan_pairs(batch: pa.Table) -> pa.Table:
+    """Per sorted block: join adjacent (kind=0, kind=1) rows with equal
+    (doc, off).  The block's first row (if an unpaired kind-1) and last row
+    (if an unpaired kind-0) may have their partner in a neighbor block and
+    are re-emitted raw with ``bnd=1`` for the driver to resolve."""
+    n = len(batch)
+    if n == 0:
+        return _PAIR_SCHEMA.empty_table()
+    doc = batch.column("doc").to_numpy()
+    off = batch.column("off").to_numpy()
+    kind = batch.column("kind").to_numpy()
+    rank = batch.column("rank").to_numpy()
+    same = (doc[1:] == doc[:-1]) & (off[1:] == off[:-1])
+    lead = np.flatnonzero(same)  # kind-0 row index of each local pair
+    paired = np.zeros(n, dtype=bool)
+    paired[lead] = True
+    paired[lead + 1] = True
+    boundary = np.zeros(n, dtype=bool)
+    if not paired[0] and kind[0] == 1:
+        boundary[0] = True  # partner kind-0 sorts before -> previous block
+    if not paired[n - 1] and kind[n - 1] == 0:
+        boundary[n - 1] = True  # partner kind-1 sorts after -> next block
+    # interior unpaired kind-0 rows: the partner would sort immediately after
+    # them, i.e. inside this block -> it does not exist anywhere: miss.
+    lone = (~paired) & (~boundary) & (kind == 0)
+    li = np.flatnonzero(lone)
+    parts = [
+        _pair_table(doc[lead], off[lead], rank[lead], rank[lead + 1], np.zeros(len(lead), np.int8)),
+        _pair_table(doc[li], off[li], rank[li], doc[li], np.ones(len(li), np.int8)),
+    ]
+    bi = np.flatnonzero(boundary)
+    if len(bi):
+        parts.append(
+            _pair_table(
+                doc[bi], off[bi], rank[bi], np.zeros(len(bi), np.int64),
+                np.zeros(len(bi), np.int8), np.ones(len(bi), np.int8), kind[bi],
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _resolve_pair_boundary(btbl: pa.Table) -> pa.Table:
+    """Driver merge of O(2/block) raw boundary rows: same pair logic over the
+    globally re-sorted remainder.  Unpaired kind-1 rows (their kind-0 base was
+    pruned) drop; unpaired kind-0 rows miss."""
+    n = len(btbl)
+    if n == 0:
+        return _PAIR_SCHEMA.empty_table().select(["doc", "off", "rank", "next", "miss"])
+    doc = btbl.column("doc").to_numpy()
+    off = btbl.column("off").to_numpy()
+    kind = btbl.column("kind").to_numpy()
+    rank = btbl.column("rank").to_numpy()
+    order = np.lexsort((kind, off, doc))
+    doc, off, kind, rank = doc[order], off[order], kind[order], rank[order]
+    same = (doc[1:] == doc[:-1]) & (off[1:] == off[:-1])
+    lead = np.flatnonzero(same)
+    paired = np.zeros(n, dtype=bool)
+    paired[lead] = True
+    paired[lead + 1] = True
+    lone = (~paired) & (kind == 0)
+    li = np.flatnonzero(lone)
+    out = pa.concat_tables(
+        [
+            _pair_table(doc[lead], off[lead], rank[lead], rank[lead + 1], np.zeros(len(lead), np.int8)),
+            _pair_table(doc[li], off[li], rank[li], doc[li], np.ones(len(li), np.int8)),
+        ]
+    )
+    return out.select(["doc", "off", "rank", "next", "miss"])
+
+
+# ---------------------------------------------------------------------------
+# step 3: run numbering + pruning over sort([rank, miss, next, doc, off])
+# ---------------------------------------------------------------------------
+
+
+def _run_layout(batch: pa.Table):
+    rank = batch.column("rank").to_numpy()
+    miss = batch.column("miss").to_numpy()
+    nxt = batch.column("next").to_numpy()
+    change = np.zeros(len(rank), dtype=bool)
+    change[0] = True
+    change[1:] = (rank[1:] != rank[:-1]) | (miss[1:] != miss[:-1]) | (nxt[1:] != nxt[:-1])
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.append(starts, len(rank)))
+    return starts, sizes
+
+
+def _block_summary(batch: pa.Table) -> pa.Table:
+    """One row per block: identity (first-row full key), run layout at the
+    block's edges.  Driver input for global run numbering — O(blocks)."""
+    n = len(batch)
+    if n == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in _SUMMARY_COLS})
+    starts, sizes = _run_layout(batch)
+    vals = {
+        "n_rows": n,
+        "n_runs": len(starts),
+        "first_run_len": int(sizes[0]),
+        "last_run_start": int(starts[-1]),
+        "last_run_len": int(sizes[-1]),
+    }
+    for c in ("rank", "miss", "next", "doc", "off"):
+        col = batch.column(c).to_numpy()
+        vals[f"f_{c}"] = int(col[0])
+        vals[f"l_{c}"] = int(col[n - 1])
+    return pa.table({c: pa.array([vals[c]], pa.int64()) for c in _SUMMARY_COLS})
+
+
+_SUMMARY_COLS = [
+    "n_rows", "n_runs", "first_run_len", "last_run_start", "last_run_len",
+    "f_rank", "f_miss", "f_next", "f_doc", "f_off",
+    "l_rank", "l_miss", "l_next", "l_doc", "l_off",
+]
+
+
+def _global_run_info(summaries: pa.Table) -> dict:
+    """Order blocks by first-row key (unique: includes (doc, off)), walk the
+    chain of runs spanning block boundaries, and return per-block:
+    ``first-row key -> (row_offset, f_start, f_total, l_start, l_total)``."""
+    cols = {c: summaries.column(c).to_numpy() for c in _SUMMARY_COLS}
+    nb = len(summaries)
+    order = np.lexsort(
+        (cols["f_off"], cols["f_doc"], cols["f_next"], cols["f_miss"], cols["f_rank"])
+    )
+    blocks = [{c: int(cols[c][i]) for c in _SUMMARY_COLS} for i in order]
+    info: dict = {}
+    open_run = None
+    offset = 0
+    per_block = []
+    for b in blocks:
+        key3 = (b["f_rank"], b["f_miss"], b["f_next"])
+        if open_run is not None and open_run["key"] == key3:
+            frun = open_run
+        else:
+            frun = {"key": key3, "start": offset, "size": 0}
+        frun["size"] += b["first_run_len"]
+        if b["n_runs"] == 1:
+            lrun = frun
+        else:
+            lrun = {
+                "key": (b["l_rank"], b["l_miss"], b["l_next"]),
+                "start": offset + b["last_run_start"],
+                "size": b["last_run_len"],
+            }
+        open_run = lrun
+        per_block.append((b, offset, frun, lrun))
+        offset += b["n_rows"]
+    for b, off0, frun, lrun in per_block:
+        bkey = (b["f_rank"], b["f_miss"], b["f_next"], b["f_doc"], b["f_off"])
+        info[bkey] = (off0, frun["start"], frun["size"], lrun["start"], lrun["size"])
+    assert len(info) == nb  # first-row keys are unique (doc, off) rows
+    return info
+
+
+def _block_info(batch: pa.Table, info: dict):
+    bkey = tuple(int(batch.column(c)[0].as_py()) for c in ("rank", "miss", "next", "doc", "off"))
+    return info[bkey]
+
+
+def _assign_ranks(batch: pa.Table, *, info_ref) -> pa.Table:
+    """Per block (pass 2): new rank = global index of the run's first row;
+    drop miss rows and rows in globally-singleton runs."""
+    import ray
+
+    if len(batch) == 0:
+        return _EMPTY_ROWS
+    info = ray.get(info_ref) if not isinstance(info_ref, dict) else info_ref
+    row_offset, f_start, f_total, l_start, l_total = _block_info(batch, info)
+    starts, sizes = _run_layout(batch)
+    g_starts = row_offset + starts
+    totals = sizes.astype(np.int64).copy()
+    g_starts[0] = f_start
+    totals[0] = f_total
+    totals[-1] = l_total
+    if len(starts) > 1:
+        g_starts[-1] = l_start
+    run_of = np.repeat(np.arange(len(starts)), sizes)
+    new_rank = g_starts[run_of]
+    keep = (batch.column("miss").to_numpy() == 0) & (totals[run_of] >= 2)
+    return pa.table(
+        {
+            "doc": pa.array(batch.column("doc").to_numpy()[keep], pa.int64()),
+            "off": pa.array(batch.column("off").to_numpy()[keep], pa.int64()),
+            "rank": pa.array(new_rank[keep], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# final round: emit edges instead of new ranks
+# ---------------------------------------------------------------------------
+
+_EDGE_SCHEMA = pa.schema(
+    [("src", pa.int64()), ("dst", pa.int64()), ("gkey", pa.int64()), ("bnd", pa.int8())]
+)
+
+
+def _edge_table(src, dst, gkey=None, bnd=None) -> pa.Table:
+    n = len(src)
+    return pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "gkey": pa.array(gkey if gkey is not None else np.zeros(n, np.int64), pa.int64()),
+            "bnd": pa.array(bnd if bnd is not None else np.zeros(n, np.int8), pa.int8()),
+        }
+    )
+
+
+def _all_pairs(x: np.ndarray, run_of: np.ndarray):
+    """All ordered pairs (x[i], x[j]) i<j within each run — vectorized."""
+    change = np.zeros(len(x), dtype=bool)
+    if len(x):
+        change[0] = True
+        change[1:] = run_of[1:] != run_of[:-1]
+    starts = np.flatnonzero(change)
+    start_of = starts[np.cumsum(change) - 1] if len(x) else np.zeros(0, np.int64)
+    j = np.arange(len(x)) - start_of  # index within run
+    total = int(j.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    base = np.repeat(start_of, j)
+    csum = np.cumsum(j) - j
+    r = np.arange(total) - np.repeat(csum, j)
+    return x[base + r], np.repeat(x, j)
+
+
+def _emit_edges(batch: pa.Table, *, info_ref, mode: str) -> pa.Table:
+    """Final pass 2: per kept run (miss=0, global size >= 2) emit edges among
+    its distinct docs.  Runs touching a block edge also emit (gkey=global run
+    start, doc) representative rows; in ``pairs`` mode they emit their FULL
+    distinct-doc list and no local edges (driver builds the cross pairs)."""
+    import ray
+
+    if len(batch) == 0:
+        return _EDGE_SCHEMA.empty_table()
+    info = ray.get(info_ref) if not isinstance(info_ref, dict) else info_ref
+    row_offset, f_start, f_total, l_start, l_total = _block_info(batch, info)
+    starts, sizes = _run_layout(batch)
+    nruns = len(starts)
+    g_starts = row_offset + starts
+    totals = sizes.astype(np.int64).copy()
+    g_starts[0] = f_start
+    totals[0] = f_total
+    totals[-1] = l_total
+    if nruns > 1:
+        g_starts[-1] = l_start
+    run_of = np.repeat(np.arange(nruns), sizes)
+    doc = batch.column("doc").to_numpy()
+    miss = batch.column("miss").to_numpy()
+    # runs are homogeneous in (rank, miss, next) — the sort key
+    run_kept = (miss[starts] == 0) & (totals >= 2)
+    spans_edge = np.zeros(nruns, dtype=bool)
+    spans_edge[0] = totals[0] != sizes[0]
+    spans_edge[-1] |= totals[-1] != sizes[-1]
+    # distinct docs per kept run (rows sorted by doc within a run)
+    new_doc = np.zeros(len(doc), dtype=bool)
+    new_doc[starts] = True
+    new_doc[1:] |= (doc[1:] != doc[:-1]) & (run_of[1:] == run_of[:-1])
+    di = np.flatnonzero(new_doc & run_kept[run_of])
+    d_doc = doc[di]
+    d_run = run_of[di]
+    d_spans = spans_edge[d_run]
+    first_of_run = np.zeros(len(di), dtype=bool)
+    if len(di):
+        first_of_run[0] = True
+        first_of_run[1:] = d_run[1:] != d_run[:-1]
+    parts = []
+    if mode == "pairs":
+        local = ~d_spans  # edge runs go to the driver with their FULL doc list
+        src, dst = _all_pairs(d_doc[local], d_run[local])
+        parts.append(_edge_table(src, dst))
+        rep_mask = d_spans
+    else:
+        # star: hub = run's locally-first (minimal) doc
+        f = np.flatnonzero(first_of_run)
+        counts = np.diff(np.append(f, len(di)))
+        hub = np.repeat(d_doc[f], counts) if len(di) else np.zeros(0, np.int64)
+        tail = ~first_of_run
+        parts.append(_edge_table(hub[tail], d_doc[tail]))
+        rep_mask = d_spans & first_of_run  # one (hub) rep per edge run
+    ri = np.flatnonzero(rep_mask)
+    if len(ri):
+        parts.append(
+            _edge_table(
+                np.zeros(len(ri), np.int64), d_doc[ri], g_starts[d_run[ri]],
+                np.ones(len(ri), np.int8),
+            )
+        )
+    return pa.concat_tables(parts) if parts else _EDGE_SCHEMA.empty_table()
+
+
+def _resolve_edge_boundary(btbl: pa.Table, mode: str) -> pa.Table:
+    """Driver: boundary reps grouped by global run start -> edges."""
+    if len(btbl) == 0:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    gkey = btbl.column("gkey").to_numpy()
+    doc = btbl.column("dst").to_numpy()
+    order = np.lexsort((doc, gkey))
+    gkey, doc = gkey[order], doc[order]
+    uniq = np.zeros(len(gkey), dtype=bool)
+    uniq[0] = True
+    uniq[1:] = (gkey[1:] != gkey[:-1]) | (doc[1:] != doc[:-1])
+    gkey, doc = gkey[uniq], doc[uniq]
+    run_change = np.zeros(len(gkey), dtype=bool)
+    run_change[0] = True
+    run_change[1:] = gkey[1:] != gkey[:-1]
+    run_of = np.cumsum(run_change) - 1
+    if mode == "pairs":
+        src, dst = _all_pairs(doc, run_of)
+    else:
+        starts = np.flatnonzero(run_change)
+        start_of = starts[run_of]
+        tail = ~run_change
+        src, dst = doc[start_of][tail], doc[tail]
+    return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def _round(rows, k: int, *, final: bool, mode: str):
+    """One doubling round: extend compared prefixes by k bytes.  Two Dataset
+    sorts; all driver work O(blocks).  Returns (rows | edges) Dataset."""
+    import ray
+
+    msgs = rows.map_batches(
+        functools.partial(_emit_messages, k=k), batch_format="pyarrow", zero_copy_batch=True
+    )
+    scanned = (
+        msgs.sort(["doc", "off", "kind"])
+        .map_batches(_scan_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    interior = scanned.map_batches(
+        lambda b: b.filter(pc.equal(b.column("bnd"), 0)).select(["doc", "off", "rank", "next", "miss"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from .cc import _collect_small
+
+    btbl = _collect_small(
+        scanned.map_batches(
+            lambda b: b.filter(pc.equal(b.column("bnd"), 1)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["doc", "off", "rank", "next", "kind"],
+    )
+    resolved = _resolve_pair_boundary(btbl)
+    paired = interior.union(ray.data.from_arrow(resolved))
+    ranked = paired.sort(["rank", "miss", "next", "doc", "off"]).materialize()
+    summaries = _collect_small(
+        ranked.map_batches(_block_summary, batch_format="pyarrow", zero_copy_batch=True),
+        _SUMMARY_COLS,
+    )
+    if len(summaries) == 0:
+        return None
+    info_ref = ray.put(_global_run_info(summaries))
+    if not final:
+        return ranked.map_batches(
+            functools.partial(_assign_ranks, info_ref=info_ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    edges = ranked.map_batches(
+        functools.partial(_emit_edges, info_ref=info_ref, mode=mode),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    local = edges.map_batches(
+        lambda b: b.filter(pc.equal(b.column("bnd"), 0)).select(["src", "dst"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    breps = _collect_small(
+        edges.map_batches(
+            lambda b: b.filter(pc.equal(b.column("bnd"), 1)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["src", "dst", "gkey"],
+    )
+    return local.union(ray.data.from_arrow(_resolve_edge_boundary(breps, mode)))
+
+
+def _schedule(k_target: int) -> list[int]:
+    steps, length = [], _K0
+    while length < k_target:
+        k = min(length, k_target - length)
+        steps.append(k)
+        length += k
+    return steps
+
+
+def suffix_array_candidate_edges(
+    ds,
+    min_match_length: int = 40,
+    text_field: str = "caption",
+    id_field: str = "_id",
+    emit: str = "star",
+):
+    """Exact duplicate-span edges: (src, dst) doc-id pairs that share an exact
+    byte span >= ``min_match_length``.  ``emit="star"`` (default) links each
+    duplicated span's docs through a hub for the CC stage; ``emit="pairs"``
+    returns every sharing pair (verification/oracle mode — O(group^2))."""
+    assert min_match_length >= 8, "suffix-array stage needs min_match_length >= 8"
+    import ray
+
+    rows = ds.map_batches(
+        functools.partial(_emit_positions, text_field=text_field, id_field=id_field),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    steps = _schedule(min_match_length)
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    for i, k in enumerate(steps):
+        final = i == len(steps) - 1
+        rows = _round(rows, k, final=final, mode=emit)
+        if rows is None:
+            return empty
+    return rows
+
+
+def suffix_array_pair_table(ds, min_match_length: int = 40, text_field: str = "text", id_field: str = "_id") -> pa.Table:
+    """Distinct sorted (src, dst) pairs, src < dst — query/oracle surface."""
+    edges = suffix_array_candidate_edges(
+        ds, min_match_length, text_field=text_field, id_field=id_field, emit="pairs"
+    )
+    parts = [pa.table(b) for b in edges.iter_batches(batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts)
+    a = t.column("src").to_numpy()
+    b = t.column("dst").to_numpy()
+    src, dst = np.minimum(a, b), np.maximum(a, b)
+    from .cc import dedup_pairs
+
+    src, dst = dedup_pairs(src, dst)
+    return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
