@@ -712,6 +712,146 @@ def q_cosine_dups(sf_dir: str):
     return cosine_dup_pairs(ds, threshold=0.4, id_field="vec_id", embedding_field="embedding")
 
 
+def _download_fixture_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic archive fixtures built from the sf documents table
+    (wiki .xml.bz2 / WARC .warc.gz / arXiv chunk .tar), cached under /tmp.
+    The download pipelines have no network here; the fixtures exercise the
+    identical download->iterate->extract code path via LocalCopyDownloader."""
+    import bz2
+    import duckdb
+    import gzip as _gzip
+    import hashlib
+    import io
+    import tarfile
+    from xml.sax.saxutils import escape
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    fix_dir = f"/tmp/curator_ray_dl_{kind}_{key}"
+    done = os.path.join(fix_dir, "_DONE")
+    if os.path.exists(done):
+        return fix_dir
+    os.makedirs(fix_dir, exist_ok=True)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    if kind == "wiki":
+        # shard into 4 dump parts so the pipeline parallelizes over files
+        shards = 4
+        for s in range(shards):
+            pages = [
+                f"<page><title>Doc {i}</title><ns>0</ns><id>{i}</id>"
+                f"<revision><text>{escape(t)}</text></revision></page>"
+                for i, t in rows[s::shards]
+            ]
+            xml = "<mediawiki>" + "".join(pages) + "</mediawiki>"
+            with open(os.path.join(fix_dir, f"part{s}.xml.bz2"), "wb") as f:
+                f.write(bz2.compress(xml.encode()))
+    elif kind == "warc":
+        from curator_ray.functions.warc import write_warc
+
+        shards = 4
+        for s in range(shards):
+            recs = [
+                {
+                    "type": "response",
+                    "record_id": f"doc-{i}",
+                    "url": f"http://docs.example/{i}",
+                    "payload": f"<html><body><p>{escape(t)}</p></body></html>".encode(),
+                }
+                for i, t in rows[s::shards]
+            ]
+            write_warc(os.path.join(fix_dir, f"part{s}.warc.gz"), recs)
+    elif kind == "arxiv":
+        with tarfile.open(os.path.join(fix_dir, "chunk_001.tar"), "w") as chunk:
+            for i, t in rows:
+                tex = f"\\section{{D{i}}}\n{t}"
+                blob = _gzip.compress(tex.encode(), mtime=0)
+                info = tarfile.TarInfo(f"fix/{i}.gz")
+                info.size = len(blob)
+                chunk.addfile(info, io.BytesIO(blob))
+    open(done, "w").close()
+    return fix_dir
+
+
+def q_wiki_extract(sf_dir: str):
+    """Wikipedia download->iterate->extract pipeline
+    (sources/download.py; reference stages/text/download/wikipedia): plain
+    prose passes the wikitext cleaner unchanged, so the oracle is the
+    documents table itself."""
+    import glob
+
+    from curator_ray.sources.download import wikipedia_pipeline
+
+    fix = _download_fixture_dir(sf_dir, "wiki")
+    ds = wikipedia_pipeline(sorted(glob.glob(os.path.join(fix, "*.xml.bz2"))), local=True)
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b.column("id"), pa.int64()), "text": b.column("text")}),
+        batch_format="pyarrow",
+    )
+
+
+def q_cc_warc_extract(sf_dir: str):
+    """Common Crawl WARC download->iterate->extract pipeline
+    (sources/download.py; reference stages/text/download/common_crawl).
+    Thresholds pinned so the jusText context pass is SQL-expressible:
+    with stopword gates at 0 every block >200 chars is GOOD, the rest
+    (single-block pages, no GOOD neighbour) are dropped."""
+    import functools
+    import glob
+
+    from curator_ray.sources.download import (
+        CommonCrawlHTMLExtractor,
+        LocalCopyDownloader,
+        WarcIterator,
+        download_extract_dataset,
+    )
+
+    from curator_ray.functions.htmltext import EN_STOP_WORDS
+
+    fix = _download_fixture_dir(sf_dir, "warc")
+    # stop_lists covers every lang_id outcome so the word-soup synthetic
+    # text is never dropped on language — the oracle checks extraction only
+    extractor = CommonCrawlHTMLExtractor(
+        stop_lists={lang: EN_STOP_WORDS for lang in ("en", "de", "fr", "es", "it", "xx")},
+        stopwords_low=0.0,
+        stopwords_high=0.0,
+        length_low=1,
+    )
+    ds = download_extract_dataset(
+        sorted(glob.glob(os.path.join(fix, "*.warc.gz"))),
+        LocalCopyDownloader(),
+        WarcIterator(),
+        extractor,
+        add_filename_column=False,
+    )
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(pc.replace_substring_regex(b.column("url"), ".*/", ""), pa.int64()),
+                "text": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_arxiv_extract(sf_dir: str):
+    """ArXiv download->iterate->extract pipeline (sources/download.py;
+    reference stages/text/download/arxiv, RedPajama rules): each doc is a
+    one-file submission '\\section{D<id>}\\n<text>', which the cleaner
+    keeps verbatim — the oracle rebuilds the same string in SQL."""
+    from curator_ray.sources.download import arxiv_pipeline
+
+    fix = _download_fixture_dir(sf_dir, "arxiv")
+    ds = arxiv_pipeline([os.path.join(fix, "chunk_001.tar")], local=True, add_filename_column=False)
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b.column("id"), pa.int64()), "text": b.column("text")}),
+        batch_format="pyarrow",
+    )
+
+
 def q_split_join_roundtrip(sf_dir: str):
     """DocumentSplitter -> DocumentJoiner identity (modules/joiner.py:24):
     re-joining the ordered segments must reproduce the original text."""
@@ -781,6 +921,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_dups": q_cosine_dups,
         "substring_sa_pairs": q_substring_sa_pairs,
+        "wiki_extract": q_wiki_extract,
+        "cc_warc_extract": q_cc_warc_extract,
+        "arxiv_extract": q_arxiv_extract,
     }
 
 
@@ -1021,6 +1164,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b "
             "ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 ORDER BY id_a, id_b"
+        ),
+        "wiki_extract": "SELECT doc_id, text FROM documents ORDER BY doc_id",
+        "cc_warc_extract": (
+            "SELECT doc_id, text FROM documents WHERE length(text) > 200 ORDER BY doc_id"
+        ),
+        "arxiv_extract": (
+            "SELECT doc_id, '\\section{D' || doc_id || '}' || chr(10) || text AS text "
+            "FROM documents ORDER BY doc_id"
         ),
         # text is ASCII in the synth tables, so char semantics == byte semantics
         "substring_sa_pairs": (
