@@ -852,6 +852,87 @@ def q_arxiv_extract(sf_dir: str):
     )
 
 
+def q_token_chunks(sf_dir: str):
+    """TokenSplitterStage (reference math/modifiers/chunking.py:24): greedy
+    paragraph packing into <= 8-token chunks. With separator ' ' each synth
+    word is exactly one token, so chunk boundaries fall every 8 words — the
+    oracle replays the packing in SQL."""
+    from curator_ray.stages.math import token_splitter
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = token_splitter(ds, max_length_tokens=8, separator=" ")
+    return out.select_columns(["doc_id", "chunk_id", "n_tokens", "text"])
+
+
+def q_token_chunk_roundtrip(sf_dir: str):
+    """token_splitter -> merge_chunks identity (math/modifiers/chunking.py +
+    merge_chunks.py): chunks keep their trailing separators, so re-merging
+    with an empty join separator reproduces the original text exactly."""
+    from curator_ray.stages.math import merge_chunks, token_splitter
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    chunked = token_splitter(ds, max_length_tokens=8, separator=" ")
+    merged = merge_chunks(
+        chunked, groupby_columns=["doc_id"], sum_columns=["n_tokens"], separator=""
+    )
+    return merged.select_columns(["doc_id", "text"])
+
+
+def q_notebook_extract(sf_dir: str):
+    """MathContentExtractor (reference math/download/extract.py:89): MIME
+    routing + Jupyter-notebook flattening. Each document rides in as a
+    one-markdown-cell .ipynb, so extraction returns the text verbatim with
+    type='notebook'."""
+    import json as _json
+
+    from curator_ray.stages.math import math_content_extract
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def to_notebook(b: pa.Table) -> pa.Table:
+        blobs = [
+            _json.dumps(
+                {"nbformat": 4, "nbformat_minor": 5,
+                 "cells": [{"cell_type": "markdown", "source": [t]}]}
+            ).encode()
+            for t in b.column("text").to_pylist()
+        ]
+        urls = [f"http://docs.example/{i}.ipynb" for i in b.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "binary_content": pa.array(blobs, pa.binary()),
+                "url": pa.array(urls, pa.string()),
+                "mime_type": pa.array(["application/json"] * len(b), pa.string()),
+            }
+        )
+
+    extracted = math_content_extract(ds.map_batches(to_notebook, batch_format="pyarrow"))
+    return extracted.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.replace_substring_regex(b.column("url"), r".*/(\d+)\.ipynb", r"\1"),
+                    pa.int64(),
+                ),
+                "type": b.column("type"),
+                "text": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_finemath_score(sf_dir: str):
+    """FineMathClassifier (reference math/classifiers/finemath.py:89):
+    center-crop -> tokenizer -> micro-batched regression head (deterministic
+    stub model). Rows-only: scores are model outputs."""
+    from curator_ray.stages.math import finemath_scorer
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = finemath_scorer(ds)
+    return out.select_columns(["doc_id", "finemath_scores", "finemath_int_scores"])
+
+
 def q_split_join_roundtrip(sf_dir: str):
     """DocumentSplitter -> DocumentJoiner identity (modules/joiner.py:24):
     re-joining the ordered segments must reproduce the original text."""
@@ -924,6 +1005,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wiki_extract": q_wiki_extract,
         "cc_warc_extract": q_cc_warc_extract,
         "arxiv_extract": q_arxiv_extract,
+        "token_chunks": q_token_chunks,
+        "token_chunk_roundtrip": q_token_chunk_roundtrip,
+        "notebook_extract": q_notebook_extract,
+        "finemath_score": q_finemath_score,
     }
 
 
@@ -1172,6 +1257,24 @@ def oracle_sql() -> dict[str, str]:
         "arxiv_extract": (
             "SELECT doc_id, '\\section{D' || doc_id || '}' || chr(10) || text AS text "
             "FROM documents ORDER BY doc_id"
+        ),
+        # every synth word is one token ([A-Za-z]+ run), so greedy packing at
+        # max_length_tokens=8 flushes exactly every 8 words
+        "token_chunks": (
+            "WITH words AS ("
+            "  SELECT doc_id, i, string_split(text, ' ')[i] AS w,"
+            "         len(string_split(text, ' ')) AS nw"
+            "  FROM documents, range(1, 4097) t(i)"
+            "  WHERE i <= len(string_split(text, ' '))"
+            ") "
+            "SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS chunk_id,"
+            "       CAST(count(*) AS BIGINT) AS n_tokens,"
+            "       string_agg(CASE WHEN i = nw THEN w ELSE w || ' ' END, '' ORDER BY i) AS text "
+            "FROM words GROUP BY doc_id, (i - 1) // 8 ORDER BY doc_id, chunk_id"
+        ),
+        "token_chunk_roundtrip": "SELECT doc_id, text FROM documents ORDER BY doc_id",
+        "notebook_extract": (
+            "SELECT doc_id, 'notebook' AS type, text FROM documents ORDER BY doc_id"
         ),
         # text is ASCII in the synth tables, so char semantics == byte semantics
         "substring_sa_pairs": (
