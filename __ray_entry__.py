@@ -933,6 +933,62 @@ def q_finemath_score(sf_dir: str):
     return out.select_columns(["doc_id", "finemath_scores", "finemath_int_scores"])
 
 
+def q_knowledge_list_post(sf_dir: str):
+    """KnowledgeListPostProcessingStage (reference synthetic/nemotron_cc.py:151):
+    bullet normalization. The fixture 'LLM output' is one bullet per word, so
+    the cleaned list is the text with spaces turned into newlines — which the
+    oracle rebuilds directly."""
+    from curator_ray.stages.synthetic import knowledge_list_postprocess
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def to_bullets(b: pa.Table) -> pa.Table:
+        gen = pc.binary_join_element_wise(
+            pa.array(["- "] * len(b)),
+            pc.replace_substring(b.column("text").combine_chunks() if isinstance(b.column("text"), pa.ChunkedArray) else b.column("text"), " ", "\n- "),
+            "",
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "knowledge_list": gen})
+
+    bullets = ds.map_batches(to_bullets, batch_format="pyarrow")
+    return knowledge_list_postprocess(bullets)
+
+
+def q_wiki_rephrase_synth(sf_dir: str):
+    """BaseSyntheticStage plumbing (reference synthetic/nemotron_cc/base.py:30):
+    prompt templating + per-worker client setup in an actor pool, with the
+    deterministic EchoLLMClient. The oracle checks row alignment across the
+    pool (doc_id must stay paired with its own rephrased text)."""
+    from curator_ray.stages.synthetic import wikipedia_rephrase
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return wikipedia_rephrase(ds).select_columns(["doc_id", "rephrased"])
+
+
+def q_diverse_qa_post(sf_dir: str):
+    """DiverseQAPostProcessingStage (reference synthetic/nemotron_cc.py:57):
+    parse + per-record-seeded sample of generated QA pairs. Rows-only: the
+    sample seed is a murmur128 hash, not SQL-expressible."""
+    from curator_ray.stages.synthetic import diverse_qa_postprocess
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def to_qa(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        gen = [
+            "\n".join(f"Question: what is word {j}?\nAnswer: {w}."
+                      for j, w in enumerate(t.split()[:6]))
+            for t in texts
+        ]
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "text": b.column("text"),
+             "diverse_qa": pa.array(gen, pa.string())}
+        )
+
+    qa = ds.map_batches(to_qa, batch_format="pyarrow")
+    return diverse_qa_postprocess(qa).select_columns(["doc_id", "diverse_qa"])
+
+
 def q_split_join_roundtrip(sf_dir: str):
     """DocumentSplitter -> DocumentJoiner identity (modules/joiner.py:24):
     re-joining the ordered segments must reproduce the original text."""
@@ -1009,6 +1065,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chunk_roundtrip": q_token_chunk_roundtrip,
         "notebook_extract": q_notebook_extract,
         "finemath_score": q_finemath_score,
+        "knowledge_list_post": q_knowledge_list_post,
+        "wiki_rephrase_synth": q_wiki_rephrase_synth,
+        "diverse_qa_post": q_diverse_qa_post,
     }
 
 
@@ -1275,6 +1334,13 @@ def oracle_sql() -> dict[str, str]:
         "token_chunk_roundtrip": "SELECT doc_id, text FROM documents ORDER BY doc_id",
         "notebook_extract": (
             "SELECT doc_id, 'notebook' AS type, text FROM documents ORDER BY doc_id"
+        ),
+        "knowledge_list_post": (
+            "SELECT doc_id, replace(text, ' ', chr(10)) AS knowledge_list "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "wiki_rephrase_synth": (
+            "SELECT doc_id, text AS rephrased FROM documents ORDER BY doc_id"
         ),
         # text is ASCII in the synth tables, so char semantics == byte semantics
         "substring_sa_pairs": (
