@@ -933,6 +933,80 @@ def q_finemath_score(sf_dir: str):
     return out.select_columns(["doc_id", "finemath_scores", "finemath_int_scores"])
 
 
+def _mod_text(b: pa.Table) -> pa.Array:
+    col = b.column("text")
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def q_text_curation(sf_dir: str):
+    """End-to-end text-curation composite (pipelines/text_curation.py):
+    unicode clean -> URL strip -> word-count filter [20, 60] -> exact dedup
+    keep-first. One streaming chain; the oracle replays filter + dedup in SQL
+    (the modifiers are identity on the ASCII synth corpus and carry their own
+    discriminating oracles: unicode_cleaned, url_removed)."""
+    from curator_ray.pipelines.text_curation import text_curation_survivors
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    surv = text_curation_survivors(ds)
+    return surv.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"), "text": b.column("text")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_line_removed(sf_dir: str):
+    """LineRemover (reference modifiers/string/line_remover.py:17): exact-match
+    lines dropped. Marker lines are injected around each doc, so the cleaned
+    output must equal the original text."""
+    from curator_ray.stages.text import line_remover, modify_stage
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(
+            pa.scalar("REMOVE\n"), _mod_text(b), pa.scalar("\nREMOVE"), ""
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    injected = ds.map_batches(inject, batch_format="pyarrow")
+    return modify_stage(injected, lambda a: line_remover(a, ["REMOVE"]), "text")
+
+
+def q_fasttext_labeled(sf_dir: str):
+    """FastTextLabelModifier (reference modifiers/fasttext/fasttext_label.py:17):
+    newline-flattened text behind a training label. Docs are first exploded to
+    one word per line so the flattening is exercised."""
+    import functools
+
+    from curator_ray.stages.text import fasttext_label, modify_stage
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "text": pc.replace_substring(_mod_text(b), " ", "\n")}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return modify_stage(exploded, functools.partial(fasttext_label, label="__label__en"), "text")
+
+
+def q_unicode_cleaned(sf_dir: str):
+    """UnicodeReformatter subset (reference modifiers/unicode/unicode_reformatter.py:21):
+    entity unescape + control-char removal over docs wrapped in '&amp;...<BEL>'."""
+    from curator_ray.stages.text import modify_stage, unicode_reformatter
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def wrap(b: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(pa.scalar("&amp;"), _mod_text(b), pa.scalar("\x07"), "")
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    wrapped = ds.map_batches(wrap, batch_format="pyarrow")
+    return modify_stage(wrapped, unicode_reformatter, "text")
+
+
 def q_knowledge_list_post(sf_dir: str):
     """KnowledgeListPostProcessingStage (reference synthetic/nemotron_cc.py:151):
     bullet normalization. The fixture 'LLM output' is one bullet per word, so
@@ -1068,6 +1142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knowledge_list_post": q_knowledge_list_post,
         "wiki_rephrase_synth": q_wiki_rephrase_synth,
         "diverse_qa_post": q_diverse_qa_post,
+        "line_removed": q_line_removed,
+        "fasttext_labeled": q_fasttext_labeled,
+        "unicode_cleaned": q_unicode_cleaned,
+        "text_curation": q_text_curation,
     }
 
 
@@ -1341,6 +1419,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "wiki_rephrase_synth": (
             "SELECT doc_id, text AS rephrased FROM documents ORDER BY doc_id"
+        ),
+        "line_removed": "SELECT doc_id, text FROM documents ORDER BY doc_id",
+        "fasttext_labeled": (
+            "SELECT doc_id, '__label__en ' || text AS text FROM documents ORDER BY doc_id"
+        ),
+        "unicode_cleaned": (
+            "SELECT doc_id, '&' || text AS text FROM documents ORDER BY doc_id"
+        ),
+        "text_curation": (
+            r"WITH f AS (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words FROM documents), "
+            "kept AS (SELECT doc_id, text FROM f WHERE n_words BETWEEN 20 AND 60) "
+            "SELECT doc_id, text FROM kept "
+            "WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY text) ORDER BY doc_id"
         ),
         # text is ASCII in the synth tables, so char semantics == byte semantics
         "substring_sa_pairs": (

@@ -249,6 +249,79 @@ def boilerplate_remover(arr) -> pa.Array:
     return pc.replace_substring_regex(arr, _BOILERPLATE_LINE, "")
 
 
+def line_remover(arr, patterns: list[str]) -> pa.Array:
+    """Drop lines whose ENTIRE content equals one of ``patterns``
+    (reference LineRemover, modifiers/string/line_remover.py:17-33).
+
+    Vectorized: split to lines, mask exact matches, re-join with rebuilt
+    list offsets — no Python over rows."""
+    splits = pc.split_pattern(arr, "\n")
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    flat = splits.flatten()
+    lengths = pc.list_value_length(splits).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.invert(
+        pc.is_in(flat, value_set=pa.array(sorted(set(patterns)), pa.string()))
+    ).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lengths)), lengths)[keep]
+    counts = np.zeros(len(lengths), dtype=np.int32)
+    np.add.at(counts, doc_idx, 1)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat.filter(pa.array(keep))),
+        "\n",
+    )
+
+
+def fasttext_label(arr, label: str) -> pa.Array:
+    """Prefix a fastText training label, flattening newlines and escaping
+    embedded label markers (reference FastTextLabelModifier,
+    modifiers/fasttext/fasttext_label.py:17-25)."""
+    out = pc.replace_substring(arr, "\n", " ")
+    out = pc.replace_substring(out, "__label__", " ")
+    return pc.binary_join_element_wise(pa.scalar(label + " "), out, "")
+
+
+_CONTROL_CHARS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
+# &amp; must unescape LAST so "&amp;lt;" single-unescapes to "&lt;"
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def unicode_reformatter(arr, normalization: str | None = None,
+                        remove_control_chars: bool = True,
+                        unescape_html: bool = True) -> pa.Array:
+    """Vectorized subset of the reference UnicodeReformatter
+    (modifiers/unicode/unicode_reformatter.py:21-): ftfy is absent in this
+    sandbox, so the mojibake/encoding repair passes are not implemented; the
+    deterministic fixes are — control-character removal (C0 minus tab/LF/CR,
+    DEL, C1), basic named-entity unescaping, and Unicode normalization via
+    Arrow's ``utf8_normalize``."""
+    out = arr
+    if unescape_html:
+        for ent, ch in _HTML_ENTITIES:
+            out = pc.replace_substring(out, ent, ch)
+    if remove_control_chars:
+        out = pc.replace_substring_regex(out, _CONTROL_CHARS, "")
+    if normalization:
+        # pyarrow's utf8_normalize does not apply canonical COMPOSITION in
+        # this build (verified: NFKC decomposes ligatures but leaves
+        # e+U+0301 uncomposed), so normalize with unicodedata — only on the
+        # non-ASCII minority (ASCII rows are normalization fixed points:
+        # char length == byte length).
+        import unicodedata
+
+        ascii_mask = pc.equal(pc.utf8_length(out), pc.binary_length(out)).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.flatnonzero(~ascii_mask)
+        if len(idx):
+            vals = np.asarray(out.to_pylist(), dtype=object)
+            for i in idx:
+                vals[i] = unicodedata.normalize(normalization, vals[i])
+            out = pa.array(vals, pa.string())
+    return out
+
+
 def sort_batch_by_length(ds, text_field: str, descending: bool = False):
     """Reorder rows WITHIN each batch by text length — the reference's
     ``SortByLengthStage`` (``stages/text/classifiers/utils.py:24``), which

@@ -177,3 +177,37 @@ def test_sort_batch_by_length(ray_session):
     assert [r["doc_id"] for r in out] == [2, 1, 3]
     out_d = sort_batch_by_length(ray.data.from_arrow(tbl), "text", descending=True).take_all()
     assert [r["doc_id"] for r in out_d] == [3, 1, 2]
+
+
+def test_line_remover():
+    from curator_ray.stages.text import line_remover
+
+    arr = pa.array(
+        [
+            "keep\nREMOVE\nalso keep",
+            "REMOVE\nREMOVE",
+            "no match",
+            "partial REMOVE stays",
+        ]
+    )
+    out = line_remover(arr, ["REMOVE"]).to_pylist()
+    assert out == ["keep\nalso keep", "", "no match", "partial REMOVE stays"]
+
+
+def test_fasttext_label():
+    from curator_ray.stages.text import fasttext_label
+
+    arr = pa.array(["line one\nline two", "has __label__x inside"])
+    out = fasttext_label(arr, "__label__en").to_pylist()
+    assert out == ["__label__en line one line two", "__label__en has  x inside"]
+
+
+def test_unicode_reformatter():
+    from curator_ray.stages.text import unicode_reformatter
+
+    arr = pa.array(["a\x00b\x07c", "&amp; &lt;tag&gt;", "&amp;lt;", "café"])
+    out = unicode_reformatter(arr, normalization="NFC").to_pylist()
+    assert out[0] == "abc"
+    assert out[1] == "& <tag>"
+    assert out[2] == "&lt;"  # double-escaped entity unescapes exactly once
+    assert out[3] == "café"  # NFC composes e + combining acute
