@@ -992,6 +992,26 @@ def q_fasttext_labeled(sf_dir: str):
     return modify_stage(exploded, functools.partial(fasttext_label, label="__label__en"), "text")
 
 
+def q_translation(sf_dir: str):
+    """Translation composite (reference stages/text/experimental/translation):
+    segment (code-block/tag/number lines fixed, leading whitespace split) ->
+    echo-translate segments -> exact reassembly. Docs are wrapped in a code
+    fence + numeric line + two-space indent so every rule is exercised; the
+    deterministic echo client prefixes '[de] ' to translatable lines only."""
+    from curator_ray.stages.translation import translate_documents
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def wrap(b: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(
+            pa.scalar("```\ncode x\n```\n123\n  "), _mod_text(b), ""
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "text": t})
+
+    wrapped = ds.map_batches(wrap, batch_format="pyarrow")
+    return translate_documents(wrapped)
+
+
 def q_unicode_cleaned(sf_dir: str):
     """UnicodeReformatter subset (reference modifiers/unicode/unicode_reformatter.py:21):
     entity unescape + control-char removal over docs wrapped in '&amp;...<BEL>'."""
@@ -1145,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_removed": q_line_removed,
         "fasttext_labeled": q_fasttext_labeled,
         "unicode_cleaned": q_unicode_cleaned,
+        "translation": q_translation,
         "text_curation": q_text_curation,
     }
 
@@ -1426,6 +1447,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unicode_cleaned": (
             "SELECT doc_id, '&' || text AS text FROM documents ORDER BY doc_id"
+        ),
+        "translation": (
+            "SELECT doc_id, '```' || chr(10) || 'code x' || chr(10) || '```' "
+            "|| chr(10) || '123' || chr(10) || '  [de] ' || text AS text "
+            "FROM documents ORDER BY doc_id"
         ),
         "text_curation": (
             r"WITH f AS (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN 0 "

@@ -381,22 +381,35 @@ def run_scaling() -> dict:
 
 
 def _update_baseline_md(summary: dict) -> None:
+    """Record the measurement in BASELINE.md, one bullet group per arm pair.
+
+    Keep-best is PER ARM PAIR: substrate noise only ever deflates the ratio
+    (PERF.md "Host-noise magnitude"), so a dirty window must not clobber a
+    clean one — but a 2→8 record must never mask an 8→32 measurement (they
+    are different experiments), so records from other pairs are preserved
+    verbatim and only the matching pair competes on value."""
     path = os.path.join(REPO, "BASELINE.md")
     try:
         text = open(path).read()
     except OSError:
         text = ""
-    # keep the best measurement on record: substrate noise only ever
-    # deflates the ratio (PERF.md "Host-noise magnitude"), so a dirty
-    # window must not clobber a clean one
-    m = re.search(r"scaling efficiency \([^)]*\) = ([0-9.]+)", text)
-    if m and float(m.group(1)) >= summary["value"]:
-        summary["baseline_md"] = f"kept prior record {m.group(1)} (>= {summary['value']})"
-        return
     lo, hi = summary.get("arm_cpus", [8, 32])
     marker = "\n## Measured scaling (this engine)\n"
-    block = (
-        f"{marker}\n"
+    head, _, tail = text.partition(marker)
+    groups = re.split(r"\n(?=- flagship )", tail.strip("\n")) if tail.strip() else []
+    pair_re = re.compile(r"scaling efficiency \((\d+)\s*(?:→|->)\s*(\d+)[^)]*\) = ([0-9.]+)")
+    kept = []
+    for g in groups:
+        m = pair_re.search(g)
+        if m and (int(m.group(1)), int(m.group(2))) == (lo, hi):
+            if float(m.group(3)) >= summary["value"]:
+                summary["baseline_md"] = (
+                    f"kept prior {lo}->{hi} record {m.group(3)} (>= {summary['value']})"
+                )
+                return
+            continue  # superseded by the better new measurement below
+        kept.append(g.strip("\n"))
+    kept.append(
         f"- flagship image-dedup at sf={summary['sf']}: "
         f"{summary['throughput_lo_images_per_sec']} images/s @ {lo} cpus, "
         f"{summary['throughput_hi_images_per_sec']} images/s @ {hi} cpus, "
@@ -406,12 +419,9 @@ def _update_baseline_md(summary: dict) -> None:
         f"{summary.get('fault_gbps_hi')} GB/s @ {hi} cpus — the shared\n"
         f"  single-node fault path ANTI-scales with concurrency, so memory-bound\n"
         f"  stages cannot speed up in this proxy; on a real N→4N cluster this\n"
-        f"  resource scales with node count (see PERF.md round-2 notes)\n"
+        f"  resource scales with node count (see PERF.md round-2 notes)"
     )
-    if marker in text:
-        text = text[: text.index(marker)] + block
-    else:
-        text = text + block
+    text = head + marker + "\n" + "\n".join(kept) + "\n"
     with open(path, "w") as f:
         f.write(text)
 

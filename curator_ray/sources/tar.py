@@ -69,13 +69,18 @@ class _TarShardWriter:
                         info.size = len(payload)
                         info.mtime = 0  # deterministic bytes
                         tf.addfile(info, io.BytesIO(payload))
-            os.replace(tmp, tar_path)  # atomic per shard -> resumable
+            # sidecar commits BEFORE the tar rename: the .tar's appearance is
+            # the shard's commit point (readers glob *.tar), so a kill between
+            # the two leaves either nothing visible or a complete shard
             sidecar = batch.slice(s, e - s).select(meta_cols).append_column(
                 "tar_file", pa.array([base + ".tar"] * (e - s), pa.string())
             )
             import pyarrow.parquet as pq
 
-            pq.write_table(sidecar, os.path.join(self.output_dir, base + ".parquet"))
+            side_path = os.path.join(self.output_dir, base + ".parquet")
+            pq.write_table(sidecar, side_path + ".tmp")
+            os.replace(side_path + ".tmp", side_path)
+            os.replace(tmp, tar_path)  # atomic per shard -> resumable
             out_names.append(base + ".tar")
             out_rows.append(e - s)
         return pa.table(
@@ -116,14 +121,16 @@ def _read_shard(batch: pa.Table) -> pa.Table:
                     blobs[stem] = payload
                     fmts[stem] = ext.lstrip(".")
         ids = sorted(blobs)
-        cols = {
-            "image_id": pa.array(ids, pa.string()),
-            "bytes": pa.array([blobs[i] for i in ids], pa.binary()),
-            "fmt": pa.array([fmts[i] for i in ids], pa.string()),
-        }
-        if caps:
-            cols["caption"] = pa.array([caps.get(i, "") for i in ids], pa.string())
-        tbl = pa.table(cols)
+        # caption is ALWAYS emitted (null where the shard has no .txt member)
+        # so every block carries the same schema regardless of shard content
+        tbl = pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array([blobs[i] for i in ids], pa.binary()),
+                "fmt": pa.array([fmts[i] for i in ids], pa.string()),
+                "caption": pa.array([caps.get(i) for i in ids], pa.string()),
+            }
+        )
         sidecar_path = path[: -len(".tar")] + ".parquet"
         if os.path.exists(sidecar_path):
             side = pq.read_table(sidecar_path)
@@ -136,7 +143,16 @@ def _read_shard(batch: pa.Table) -> pa.Table:
                 for c in extra:
                     tbl = tbl.append_column(c, side.column(c))
         tables.append(tbl)
-    return pa.concat_tables(tables) if tables else pa.table({"image_id": pa.array([], pa.string())})
+    if tables:
+        return pa.concat_tables(tables, promote_options="default")
+    return pa.table(
+        {
+            "image_id": pa.array([], pa.string()),
+            "bytes": pa.array([], pa.binary()),
+            "fmt": pa.array([], pa.string()),
+            "caption": pa.array([], pa.string()),
+        }
+    )
 
 
 def read_webdataset(input_dir: str):

@@ -63,31 +63,17 @@ class TokenizerStage:
         self.seed = seed
 
     def _token_ids(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-        from ..functions.murmur import hash_bytes_grouped
-        from ..functions.shingles import _string_array_buffers
+        from ..functions.tokens import whitespace_token_ids
 
-        trimmed = pc.utf8_trim_whitespace(texts)
-        if self.max_chars is not None:
-            trimmed = pc.utf8_slice_codeunits(trimmed, 0, self.max_chars)
-        splits = pc.split_pattern_regex(trimmed, r"\s+")
-        if isinstance(splits, pa.ChunkedArray):
-            splits = splits.combine_chunks()
-        counts = pc.list_value_length(splits).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = splits.flatten()
-        doc_idx = np.repeat(np.arange(len(counts)), counts)
-        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(nonempty))
-        doc_idx = doc_idx[nonempty]
-        if len(flat) == 0:
-            return np.zeros(0, np.int32), np.zeros(len(counts), np.int64)
-        data, offsets = _string_array_buffers(flat)
-        lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
-        h = hash_bytes_grouped(data, offsets[:-1], lengths, seed=self.seed, bits=64)
-        ids = (h % np.uint64(self.vocab_size)).astype(np.int32)
-        counts = np.bincount(doc_idx, minlength=len(counts)).astype(np.int64)
-        if self.max_seq_length is not None:
+        ids64, counts = whitespace_token_ids(
+            texts, self.vocab_size, self.seed, max_chars=self.max_chars
+        )
+        ids = ids64.astype(np.int32)
+        if self.max_seq_length is not None and len(ids):
             # truncate each doc's token list to max_seq_length
-            keep = (np.arange(len(doc_idx)) - np.concatenate([[0], np.cumsum(counts)])[doc_idx]) < self.max_seq_length
+            starts = np.concatenate([[0], np.cumsum(counts)])
+            doc_idx = np.repeat(np.arange(len(counts)), counts)
+            keep = (np.arange(len(ids)) - starts[doc_idx]) < self.max_seq_length
             ids = ids[keep]
             counts = np.minimum(counts, self.max_seq_length)
         return ids, counts
@@ -142,20 +128,10 @@ class ClassifierModelStage:
 
     def _forward(self, flat_ids: np.ndarray, counts: np.ndarray) -> np.ndarray:
         """Mean hashed-BoW embedding -> linear -> softmax probs (n, labels)."""
-        n = len(counts)
-        feats = np.zeros((n, self.emb.shape[1]), dtype=np.float32)
-        if len(flat_ids):
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(counts, out=offsets[1:])
-            valid = counts > 0
-            # reduceat over the (strictly increasing) starts of nonempty docs:
-            # empty docs contribute no rows, so segments cover each doc exactly
-            sums = np.add.reduceat(self.emb[flat_ids], offsets[:-1][valid], axis=0)
-            feats[valid] = sums / counts[valid][:, None]
-        logits = feats @ self.w + self.b
-        logits -= logits.max(axis=1, keepdims=True)
-        e = np.exp(logits)
-        return e / e.sum(axis=1, keepdims=True)
+        from ..functions.tokens import mean_pool, softmax
+
+        feats = mean_pool(self.emb, flat_ids, counts)
+        return softmax(feats @ self.w + self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_col = batch.column(INPUT_ID_FIELD)

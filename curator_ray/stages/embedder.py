@@ -80,16 +80,17 @@ class EmbeddingModelStage:
         self.keep_tokens = keep_tokens
 
     def _pool(self, flat_ids: np.ndarray, counts: np.ndarray) -> np.ndarray:
-        n = len(counts)
-        out = np.zeros((n, self.dim), dtype=np.float32)
-        if len(flat_ids):
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(counts, out=offsets[1:])
-            valid = counts > 0
-            if self.pooling == "mean_pooling":
-                sums = np.add.reduceat(self.emb[flat_ids], offsets[:-1][valid], axis=0)
-                out[valid] = sums / counts[valid][:, None]
-            else:  # last_token (base.py:108-117)
+        from ..functions.tokens import mean_pool
+
+        if self.pooling == "mean_pooling":
+            out = mean_pool(self.emb, flat_ids, counts)
+        else:  # last_token (base.py:108-117)
+            n = len(counts)
+            out = np.zeros((n, self.dim), dtype=np.float32)
+            if len(flat_ids):
+                offsets = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(counts, out=offsets[1:])
+                valid = counts > 0
                 out[valid] = self.emb[flat_ids[offsets[1:][valid] - 1]]
         # F.normalize(dim=1) parity (base.py: embeddings are L2-normalized)
         norms = np.linalg.norm(out, axis=1, keepdims=True)
@@ -218,39 +219,15 @@ class _FastTextStubModel:
 
     def predict_batch(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         """(top_label_idx, top_prob) for every doc, fully vectorized."""
-        from ..functions.murmur import hash_bytes_grouped
-        from ..functions.shingles import _string_array_buffers
+        from ..functions.tokens import mean_pool, softmax, whitespace_token_ids
 
         # fasttext_filters.py:46 newline -> space happens implicitly: the
         # whitespace split treats \n like any separator
-        splits = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
-        if isinstance(splits, pa.ChunkedArray):
-            splits = splits.combine_chunks()
-        counts = pc.list_value_length(splits).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = splits.flatten()
-        doc_idx = np.repeat(np.arange(len(counts)), counts)
-        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(nonempty))
-        doc_idx = doc_idx[nonempty]
-        n = len(counts)
-        feats = np.zeros((n, self.emb.shape[1]), dtype=np.float32)
-        if len(flat):
-            data, offsets = _string_array_buffers(flat)
-            lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
-            h = hash_bytes_grouped(data, offsets[:-1], lengths, seed=self.seed, bits=64)
-            ids = (h % np.uint64(self.emb.shape[0])).astype(np.int64)
-            wc = np.bincount(doc_idx, minlength=n).astype(np.int64)
-            starts = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(wc, out=starts[1:])
-            valid = wc > 0
-            sums = np.add.reduceat(self.emb[ids], starts[:-1][valid], axis=0)
-            feats[valid] = sums / wc[valid][:, None]
-        logits = feats @ self.w + self.b
-        logits -= logits.max(axis=1, keepdims=True)
-        e = np.exp(logits)
-        probs = e / e.sum(axis=1, keepdims=True)
+        ids, wc = whitespace_token_ids(texts, self.emb.shape[0], self.seed)
+        feats = mean_pool(self.emb, ids, wc)
+        probs = softmax(feats @ self.w + self.b)
         top = probs.argmax(axis=1)
-        return top, probs[np.arange(n), top].astype(np.float64)
+        return top, probs[np.arange(len(wc)), top].astype(np.float64)
 
 
 def load_fasttext_model(model_path: str):

@@ -63,6 +63,8 @@ def doc_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")  # null doc == empty doc (no grams)
     lower = pc.utf8_lower(texts)
     words = pc.split_pattern_regex(lower, pattern="[^a-z0-9]+")
     flat = pc.list_flatten(words)

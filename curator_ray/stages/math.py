@@ -253,10 +253,18 @@ def center_crop(ds, text_field: str = "text", center_crop_chars: int = 10_000):
         for s in vals:
             m = len(s) // 2
             cropped.append(s[max(0, m - n): min(m + n, len(s))])
-        out = np.asarray(txt.to_pylist(), dtype=object)
-        out[long_idx] = cropped
+        # reassemble without boxing the short majority: concat the untouched
+        # short rows (Arrow take) with the cropped long rows, then restore
+        # row order with one permutation take
+        short_idx = np.setdiff1d(np.arange(len(txt), dtype=np.int64), long_idx, assume_unique=True)
+        combined = pa.concat_arrays(
+            [txt.take(pa.array(short_idx)), pa.array(cropped, pa.string())]
+        )
+        perm = np.empty(len(txt), dtype=np.int64)
+        perm[np.concatenate([short_idx, long_idx])] = np.arange(len(txt), dtype=np.int64)
+        out = combined.take(pa.array(perm))
         return batch.set_column(
-            batch.column_names.index(text_field), text_field, pa.array(out, pa.string())
+            batch.column_names.index(text_field), text_field, out
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -108,8 +108,13 @@ def _local_simhash(batch: pa.Table, *, cfg: SimHashConfig, emit: str) -> pa.Tabl
     # identical-pHash rows: star locally, keep one rep per distinct value
     order = np.argsort(ph, kind="stable")
     sph, sid = ph[order], ids[order]
-    run_starts = np.flatnonzero(np.concatenate([[True], sph[1:] != sph[:-1]]))
-    run_min = np.minimum.reduceat(sid, run_starts)
+    # empty blocks (empty parquet file / filtered-out block): reduceat on an
+    # empty array raises, so short-circuit to empty runs
+    if len(sph):
+        run_starts = np.flatnonzero(np.concatenate([[True], sph[1:] != sph[:-1]]))
+    else:
+        run_starts = np.zeros(0, np.int64)
+    run_min = np.minimum.reduceat(sid, run_starts) if len(run_starts) else sid[:0]
     sizes = np.diff(np.append(run_starts, len(sid)))
     if want_edges:
         member_src = np.repeat(run_min, sizes)

@@ -85,8 +85,14 @@ def _emit_positions(batch: pa.Table, *, text_field: str, id_field: str) -> pa.Ta
     starts = np.cumsum(npos) - npos
     off = np.arange(total, dtype=np.int64) - np.repeat(starts, npos)
     flat = np.repeat(offsets[:-1].astype(np.int64), npos) + off
-    d = data.astype(np.int64)
-    rank = (d[flat] << 24) | (d[flat + 1] << 16) | (d[flat + 2] << 8) | d[flat + 3]
+    # gather uint8 first, widen after: avoids an 8x transient copy of the
+    # whole text buffer (the peak-memory step of the highest-volume round)
+    rank = (
+        (data[flat].astype(np.int64) << 24)
+        | (data[flat + 1].astype(np.int64) << 16)
+        | (data[flat + 2].astype(np.int64) << 8)
+        | data[flat + 3].astype(np.int64)
+    )
     return pa.table(
         {
             "doc": pa.array(doc, pa.int64()),

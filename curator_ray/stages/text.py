@@ -34,7 +34,13 @@ _STOPWORDS = (
 
 def _texts(batch: pa.Table, field: str) -> pa.ChunkedArray:
     col = batch.column(field)
-    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        # null doc == empty doc: downstream numpy kernels turn null list
+        # lengths into NaN -> garbage ints (crashes np.repeat) otherwise
+        col = pc.fill_null(col, "")
+    return col
 
 
 def word_count(arr) -> pa.Array:
@@ -255,6 +261,8 @@ def line_remover(arr, patterns: list[str]) -> pa.Array:
 
     Vectorized: split to lines, mask exact matches, re-join with rebuilt
     list offsets — no Python over rows."""
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")  # null doc == empty doc
     splits = pc.split_pattern(arr, "\n")
     if isinstance(splits, pa.ChunkedArray):
         splits = splits.combine_chunks()

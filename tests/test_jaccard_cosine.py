@@ -88,3 +88,11 @@ def test_cosine_dups_vs_duckdb(ray_session):
         )
     )
     assert got == want
+
+
+def test_doc_gram_hashes_null_text():
+    # a null doc is an empty doc (no grams), not a crash
+    import pyarrow as pa
+
+    doc_idx, gram = doc_gram_hashes(pa.array(["a b c", None, "a b c"]), n=2)
+    assert set(doc_idx.tolist()) == {0, 2}

@@ -225,3 +225,28 @@ def test_finemath_scorer_shape():
     a = out.sort_values("doc_id").finemath_scores.to_numpy()
     b = out2.sort_values("doc_id").finemath_scores.to_numpy()
     assert np.allclose(a, b)
+
+
+def test_token_splitter_null_text(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1], "text": ["para one\n\npara two", None]})
+    )
+    out = token_splitter(ds, max_length_tokens=2).to_pandas()
+    # null doc == empty doc: contributes no chunks, no crash
+    assert set(out.doc_id) == {0}
+
+
+def test_center_crop_interleaved_order(ray_session):
+    import ray
+
+    long_a = "a" * 100
+    long_b = "b" * 80
+    tbl = pa.table({"doc_id": [0, 1, 2, 3], "text": [long_a, "s1", long_b, "s2"]})
+    out = (
+        center_crop(ray.data.from_arrow(tbl), center_crop_chars=5)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.text) == ["a" * 10, "s1", "b" * 10, "s2"]

@@ -102,3 +102,14 @@ def test_substring_stage_f7(ray_session):
     )
     edges = substring_candidate_edges(ray.data.from_arrow(tbl), min_match_length=50)
     assert _clusters(edges) == [(1, 2)]
+
+
+def test_simhash_empty_block():
+    # empty blocks (empty parquet file) must not crash the local kernel
+    from curator_ray.config import SimHashConfig
+    from curator_ray.stages.simhash import _local_simhash
+
+    empty = pa.table({"_id": pa.array([], pa.int64()), "phash": pa.array([], pa.int64())})
+    for emit in ("edges", "reps", "both"):
+        out = _local_simhash(empty, cfg=SimHashConfig(), emit=emit)
+        assert out.num_rows == 0

@@ -99,3 +99,28 @@ def test_flagship_webdataset_survivors(ray_session, tmp_path):
     back = read_webdataset(os.path.join(out, "survivors")).take_all()
     assert len(back) == counters["survivors"] > 0
     assert counters["survivors"] + counters["num_duplicates"] == 60
+
+
+def test_webdataset_captionless_schema(ray_session, tmp_path):
+    """Shards without .txt members must still emit a caption column (null)
+    so all blocks of one Dataset share a schema."""
+    import ray
+
+    from curator_ray.sources.tar import read_webdataset, write_webdataset
+
+    tbl = pa.table(
+        {
+            "image_id": pa.array([f"i{k}" for k in range(4)], pa.string()),
+            "bytes": pa.array([b"\x00" * 8] * 4, pa.binary()),
+            "fmt": pa.array(["png"] * 4, pa.string()),
+            "caption": pa.array(["has caption", "also has", None, None], pa.string()),
+        }
+    )
+    out = str(tmp_path / "wds_mixed")
+    # 2 images per tar -> one shard with .txt members, one without
+    write_webdataset(ray.data.from_arrow(tbl), out, images_per_tar=2).take_all()
+    back = read_webdataset(out)
+    rows = {r["image_id"]: r for r in back.take_all()}
+    assert len(rows) == 4 and "caption" in back.schema().names
+    assert rows["i0"]["caption"] == "has caption"
+    assert rows["i3"]["caption"] is None

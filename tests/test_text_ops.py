@@ -211,3 +211,10 @@ def test_unicode_reformatter():
     assert out[1] == "& <tag>"
     assert out[2] == "&lt;"  # double-escaped entity unescapes exactly once
     assert out[3] == "café"  # NFC composes e + combining acute
+
+
+def test_line_remover_null_text():
+    from curator_ray.stages.text import line_remover
+
+    out = line_remover(pa.array(["keep\nDROP", None]), ["DROP"]).to_pylist()
+    assert out == ["keep", ""]
