@@ -568,6 +568,49 @@ def q_fineweb_edu(sf_dir: str):
     )
 
 
+def q_content_type(sf_dir: str):
+    """Model-based (stub weights): rows-only — classifiers/content_type.py:28."""
+    from curator_ray.stages.classifier import content_type_classifier
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return content_type_classifier(ds).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "content_pred": b.column("content_pred"),
+                "content_prob": b.column("content_prob"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_prompt_complexity(sf_dir: str):
+    """Multi-headed model (stub weights): rows-only —
+    classifiers/prompt_task_complexity.py:282."""
+    from curator_ray.stages.classifier import (
+        PTC_OUTPUT_FIELDS,
+        prompt_task_complexity_classifier,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    cols = ["doc_id", *PTC_OUTPUT_FIELDS]
+    return prompt_task_complexity_classifier(ds).map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_qa_multilingual(sf_dir: str):
+    """Generator stage (EmptyTask -> rows): rows-only —
+    synthetic/qa_multilingual_synthetic.py:33."""
+    from curator_ray.stages.synthetic import qa_multilingual_synthetic
+
+    return qa_multilingual_synthetic(
+        100, ["English", "Spanish", "French", "Hindi", "Japanese"]
+    )
+
+
 def q_simhash_docs(sf_dir: str):
     """Full simhash pipeline over the documents table, hash-checkable in SQL:
     24-bit letter-parity signature -> chunk banding (exhaustive for Hamming
@@ -1167,6 +1210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unicode_cleaned": q_unicode_cleaned,
         "translation": q_translation,
         "text_curation": q_text_curation,
+        "content_type": q_content_type,
+        "prompt_complexity": q_prompt_complexity,
+        "qa_multilingual": q_qa_multilingual,
     }
 
 

@@ -241,3 +241,70 @@ def knowledge_list_postprocess(ds, input_field: str = "knowledge_list"):
         return batch.set_column(idx, input_field, joined)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------- QA multilingual generator
+
+QA_MULTILINGUAL_PROMPT_TEMPLATE = (
+    "Write one question about everyday life and a helpful answer to it. "
+    "Write both entirely in {language}."
+)
+
+
+class QAMultilingualGenStage:
+    """Actor for QAMultilingualSyntheticStage (synthetic/
+    qa_multilingual_synthetic.py:33-129): generate ``num_samples`` synthetic
+    QA texts from nothing. The reference's ``secrets.choice(languages)`` is
+    replaced with a per-sample seeded pick (hash of the sample ordinal) so the
+    output is reproducible under any partitioning; the ``*`` bold-stripping
+    post-step (:63-72) is kept verbatim."""
+
+    def __init__(self, prompt: str, languages: list[str], client_factory=None,
+                 seed: int = 42):
+        from ..functions.murmur import murmur3_x86_32
+
+        self.prompt = prompt
+        self.languages = list(languages)
+        self.seed = seed
+        self._hash = murmur3_x86_32
+        self.client = (client_factory or EchoLLMClient)()
+        self.client.setup()  # once per worker
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype("<u4")
+        rows = np.ascontiguousarray(ids).view(np.uint8).reshape(len(ids), 4)
+        picks = self._hash(rows, seed=self.seed) % len(self.languages)
+        prompts = [self.prompt.format(language=self.languages[int(p)]) for p in picks]
+        responses = self.client.generate(prompts, prompts)
+        texts = [(r or "").replace("*", "") for r in responses]  # strip bolding
+        return pa.table({
+            "sample_id": batch.column("id"),
+            "language": pa.array([self.languages[int(p)] for p in picks], pa.string()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+
+def qa_multilingual_synthetic(num_samples: int, languages: list[str],
+                              prompt: str = QA_MULTILINGUAL_PROMPT_TEMPLATE,
+                              client_factory=None,
+                              concurrency: tuple[int, int] = (1, 8),
+                              batch_size: int = 256):
+    """EmptyTask -> DocumentBatch generator as a Ray Data pipeline:
+    ``ray.data.range(num_samples)`` fans the sample ordinals across the
+    cluster and the actor pool generates per-record — the reference's
+    sequential sync loop (:74-88) becomes batch-parallel for free."""
+    import ray
+
+    ds = ray.data.range(num_samples)
+    return ds.map_batches(
+        QAMultilingualGenStage,
+        fn_constructor_kwargs={
+            "prompt": prompt,
+            "languages": languages,
+            "client_factory": client_factory,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -108,3 +108,90 @@ def test_fineweb_edu_scorer(ray_session):
     for r in out:
         assert 0.0 <= r["fineweb_edu_score"] <= 5.0
         assert r["fineweb_edu_score_int"] == round(r["fineweb_edu_score"])
+
+
+def test_content_type_and_multilingual_domain(ray_session):
+    import ray
+
+    from curator_ray.stages.classifier import (
+        CONTENT_TYPE_LABELS,
+        DOMAIN_LABELS,
+        content_type_classifier,
+        multilingual_domain_classifier,
+    )
+
+    out = content_type_classifier(ray.data.from_arrow(_batch())).take_all()
+    assert len(out) == len(TEXTS)
+    assert all(r["content_pred"] in CONTENT_TYPE_LABELS for r in out)
+    out = multilingual_domain_classifier(ray.data.from_arrow(_batch())).take_all()
+    assert all(r["multilingual_domain_pred"] in DOMAIN_LABELS for r in out)
+
+
+def test_instruction_data_guard(ray_session):
+    import ray
+
+    from curator_ray.stages.classifier import instruction_data_guard_classifier
+
+    out = instruction_data_guard_classifier(ray.data.from_arrow(_batch())).take_all()
+    for r in out:
+        assert 0.0 <= r["instruction_data_guard_poisoning_score"] <= 1.0
+        assert r["is_poisoned"] == (r["instruction_data_guard_poisoning_score"] > 0.5)
+
+
+def test_fineweb_variants(ray_session):
+    import ray
+
+    from curator_ray.stages.classifier import (
+        fineweb_mixtral_edu_scorer,
+        fineweb_nemotron_edu_scorer,
+    )
+
+    out = fineweb_mixtral_edu_scorer(ray.data.from_arrow(_batch())).take_all()
+    for r in out:
+        s = r["fineweb-mixtral-edu-score-float"]
+        assert 0.0 <= s <= 5.0
+        assert r["fineweb-mixtral-edu-score-int"] == round(s)
+        assert r["fineweb-mixtral-edu-score-label"] == (
+            "high_quality" if s >= 2.5 else "low_quality"
+        )
+    out = fineweb_nemotron_edu_scorer(ray.data.from_arrow(_batch())).take_all()
+    assert all("fineweb-nemotron-edu-score-label" in r for r in out)
+
+
+def test_prompt_task_complexity(ray_session):
+    import ray
+
+    from curator_ray.stages.classifier import (
+        PTC_OUTPUT_FIELDS,
+        PTC_TASK_TYPES,
+        prompt_task_complexity_classifier,
+    )
+
+    with pytest.raises(NotImplementedError, match="filter_by not supported"):
+        prompt_task_complexity_classifier(None, filter_by=["Code Generation"])
+
+    out = prompt_task_complexity_classifier(ray.data.from_arrow(_batch())).take_all()
+    assert len(out) == len(TEXTS)
+    by_id = {r["doc_id"]: r for r in out}
+    assert sorted(by_id) == list(range(len(TEXTS)))
+    for r in out:
+        assert all(f in r for f in PTC_OUTPUT_FIELDS)
+        assert r["task_type_1"] in PTC_TASK_TYPES
+        assert r["task_type_2"] in PTC_TASK_TYPES or r["task_type_2"] == "NA"
+        # ensemble formula holds exactly on the emitted component scores
+        expect = round(
+            0.35 * r["creativity_scope"] + 0.25 * r["reasoning"]
+            + 0.15 * r["constraint_ct"] + 0.15 * r["domain_knowledge"]
+            + 0.05 * r["contextual_knowledge"] + 0.05 * r["number_of_few_shots"],
+            5,
+        )
+        assert abs(r["prompt_complexity_score"] - expect) < 1e-9
+        assert r["number_of_few_shots"] == 0 or r["number_of_few_shots"] >= 0.05
+    # micro-batch size must not change outputs
+    out2 = prompt_task_complexity_classifier(
+        ray.data.from_arrow(_batch()), model_inference_batch_size=2
+    ).take_all()
+    by_id2 = {r["doc_id"]: r for r in out2}
+    for i in by_id:
+        assert by_id[i]["task_type_1"] == by_id2[i]["task_type_1"]
+        assert by_id[i]["prompt_complexity_score"] == by_id2[i]["prompt_complexity_score"]

@@ -111,3 +111,23 @@ def test_wikipedia_rephrase_actor_pool():
     )
     out = wikipedia_rephrase(ds).to_pandas().sort_values("doc_id")
     assert list(out.rephrased) == [f"doc {i}" for i in range(10)]
+
+
+def test_qa_multilingual_generator(ray_session):
+    import ray  # noqa: F401
+
+    from curator_ray.stages.synthetic import qa_multilingual_synthetic
+
+    langs = ["English", "Spanish", "Hindi"]
+    out = qa_multilingual_synthetic(40, langs).take_all()
+    assert len(out) == 40
+    assert {r["language"] for r in out} <= set(langs)
+    assert len({r["language"] for r in out}) > 1  # seeded pick actually varies
+    for r in out:
+        assert "*" not in r["text"]  # bold-stripping post-step
+        assert r["language"] in r["text"]  # echo client returns the prompt
+    # deterministic: same sample_id -> same language/text on a re-run
+    out2 = qa_multilingual_synthetic(40, langs).take_all()
+    m1 = {r["sample_id"]: (r["language"], r["text"]) for r in out}
+    m2 = {r["sample_id"]: (r["language"], r["text"]) for r in out2}
+    assert m1 == m2
