@@ -611,6 +611,31 @@ def q_qa_multilingual(sf_dir: str):
     )
 
 
+def q_ocr_bbox_gate(sf_dir: str):
+    """Omni OCR verify+gate, value-checked: deterministic OCR table derived
+    from documents (first 12 tokens on a grid), stub-VLM verdict (ASCII-digit
+    rule), bbox gate — the oracle recomputes token counts and the digit rule
+    in SQL, so prompt->verdict->gate is hash-checked end-to-end."""
+    from curator_ray.stages.omni import derive_ocr_table, ocr_scoring_qa_stage
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = ocr_scoring_qa_stage(derive_ocr_table(docs))
+    return out.map_batches(
+        lambda b: b.select(["image_id", "n_bboxes", "n_valid_bboxes"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_ocr_scoring_qa(sf_dir: str):
+    """Full omni scoring+QA conversation assembly (rows-only: seeded-RNG
+    template sampling) — synthetic/omni/ocr_scoring_qa.py:121."""
+    from curator_ray.stages.omni import derive_ocr_table, ocr_scoring_qa_stage
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return ocr_scoring_qa_stage(derive_ocr_table(docs))
+
+
 def q_simhash_docs(sf_dir: str):
     """Full simhash pipeline over the documents table, hash-checkable in SQL:
     24-bit letter-parity signature -> chunk banding (exhaustive for Hamming
@@ -1213,6 +1238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_type": q_content_type,
         "prompt_complexity": q_prompt_complexity,
         "qa_multilingual": q_qa_multilingual,
+        "ocr_bbox_gate": q_ocr_bbox_gate,
+        "ocr_scoring_qa": q_ocr_scoring_qa,
     }
 
 
@@ -1505,6 +1532,15 @@ def oracle_sql() -> dict[str, str]:
             "kept AS (SELECT doc_id, text FROM f WHERE n_words BETWEEN 20 AND 60) "
             "SELECT doc_id, text FROM kept "
             "WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY text) ORDER BY doc_id"
+        ),
+        "ocr_bbox_gate": (
+            r"WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "sliced AS (SELECT doc_id, ws[1:12] AS w12 FROM toks) "
+            "SELECT CAST(doc_id AS VARCHAR) AS image_id, "
+            "CAST(len(w12) AS BIGINT) AS n_bboxes, "
+            "CAST(len(list_filter(w12, x -> NOT regexp_matches(x, '[0-9]'))) AS BIGINT) "
+            "AS n_valid_bboxes FROM sliced ORDER BY image_id"
         ),
         # text is ASCII in the synth tables, so char semantics == byte semantics
         "substring_sa_pairs": (

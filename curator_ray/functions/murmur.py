@@ -189,8 +189,12 @@ def hash_bytes_grouped(
             else:
                 out[grp] = murmur3_x86_32(empty, seed)
             continue
-        idx = starts[grp][:, None] + np.arange(length)[None, :]
-        mat = buf[idx]
+        # one row-gather out of a zero-copy sliding-window view: avoids
+        # materializing the (m, L) int64 index matrix (8L bytes/slice of pure
+        # allocation traffic — measured 2.6 s/315k slices on the fault-bound
+        # sandbox vs ~60 ms for the windowed gather)
+        win = np.lib.stride_tricks.sliding_window_view(buf, length)
+        mat = win[starts[grp]]
         if bits == 64:
             out[grp] = murmur3_x64_128(mat, seed)[0]
         else:

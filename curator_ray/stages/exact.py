@@ -45,7 +45,10 @@ def content_hash128(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.nda
         if length == 0:
             mat = np.zeros((len(grp), 0), dtype=np.uint8)
         else:
-            mat = data[offsets[:-1][grp][:, None] + np.arange(length)[None, :]]
+            # row-gather from a zero-copy sliding-window view — avoids the
+            # (m, L) int64 index-matrix allocation (see murmur.hash_bytes_grouped)
+            win = np.lib.stride_tricks.sliding_window_view(data, length)
+            mat = win[offsets[:-1][grp]]
         h1, h2 = murmur3_x64_128(mat, seed=0)
         hi[grp], lo[grp] = h1, h2
     return hi, lo

@@ -308,3 +308,53 @@ def qa_multilingual_synthetic(num_samples: int, languages: list[str],
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+# ------------------------------------------------ NeMo Data Designer (gated)
+
+
+def data_designer_stage(ds, config_builder=None, config_file: str | None = None,
+                        model_providers: list | None = None,
+                        concurrency: tuple[int, int] = (1, 4),
+                        batch_size: int = 1024):
+    """DataDesignerStage (synthetic/nemo_data_designer/data_designer.py:32-139):
+    each batch becomes the seed dataset of a DataDesigner preview run. Gated on
+    the external ``data_designer`` package exactly like the Lance and vLLM
+    integrations — absent in this sandbox."""
+    try:
+        import data_designer.config as _dd  # noqa: F401
+    except ImportError as e:  # pragma: no cover - package absent in sandbox
+        msg = (
+            "data_designer_stage requires the 'data-designer' package "
+            "(pip install data-designer); not available in this environment"
+        )
+        raise ImportError(msg) from e
+    if (config_builder is None) == (config_file is None):
+        raise ValueError("exactly one of config_builder / config_file must be set")
+
+    class _Actor:  # pragma: no cover - requires the external package
+        def __init__(self):
+            import data_designer.config as dd
+            from data_designer.interface import DataDesigner
+
+            self.builder = (
+                config_builder
+                if config_builder is not None
+                else dd.DataDesignerConfigBuilder.from_config(config_file)
+            )
+            self.designer = (
+                DataDesigner(model_providers=model_providers)
+                if model_providers is not None else DataDesigner()
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import data_designer.config as dd
+
+            self.builder.with_seed_dataset(dd.DataFrameSeedSource(df=batch.to_pandas()))
+            results = self.designer.preview(self.builder, num_records=len(batch))
+            return pa.Table.from_pandas(results.dataset, preserve_index=False)
+
+    return ds.map_batches(
+        _Actor, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=batch_size,
+    )

@@ -131,3 +131,13 @@ def test_qa_multilingual_generator(ray_session):
     m1 = {r["sample_id"]: (r["language"], r["text"]) for r in out}
     m2 = {r["sample_id"]: (r["language"], r["text"]) for r in out2}
     assert m1 == m2
+
+
+def test_data_designer_gated():
+    from curator_ray.stages.synthetic import data_designer_stage
+
+    try:
+        import data_designer  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="data-designer"):
+            data_designer_stage(None, config_file="/tmp/nonexistent.yaml")
