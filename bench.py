@@ -376,7 +376,19 @@ def run_scaling() -> dict:
         "fault_gbps_lo": results[lo].get("fault_gbps"),
         "fault_gbps_hi": results[hi].get("fault_gbps"),
     }
-    _update_baseline_md(summary)
+    # A ratio is only a measurement when both arms saw comparable substrate:
+    # a clean hi arm paired with a dirty lo arm inflates efficiency (observed
+    # 1.49 "super-linear" from a 0.114-vs-0.497 GB/s probe split). Such pairs
+    # are reported but never compete for the BASELINE.md record.
+    f_lo, f_hi = summary.get("fault_gbps_lo"), summary.get("fault_gbps_hi")
+    if f_lo and f_hi and f_hi > 2.0 * f_lo:
+        summary["window_skewed"] = True
+        summary["baseline_md"] = (
+            f"window-skewed pair (probe {f_lo} vs {f_hi} GB/s favors the hi arm) — "
+            "not recorded"
+        )
+    else:
+        _update_baseline_md(summary)
     return summary
 
 
