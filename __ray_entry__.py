@@ -559,8 +559,8 @@ def q_fineweb_edu(sf_dir: str):
         lambda b: pa.table(
             {
                 "doc_id": b.column("doc_id"),
-                "fineweb_edu_score": b.column("fineweb_edu_score"),
-                "fineweb_edu_score_int": b.column("fineweb_edu_score_int"),
+                "fineweb_edu_score": b.column("fineweb-edu-score-float"),
+                "fineweb_edu_score_int": b.column("fineweb-edu-score-int"),
             }
         ),
         batch_format="pyarrow",

@@ -286,14 +286,14 @@ def instruction_data_guard_classifier(ds, text_field: str = "text"):
         # prob is P(argmax label); flip to P(poisoned) when argmax was "clean"
         score = pc.if_else(poisoned, prob, pc.subtract(1.0, prob))
         out = b.append_column("instruction_data_guard_poisoning_score", score)
-        out = out.append_column("is_poisoned", pc.greater(score, 0.5))
+        out = out.append_column("is_poisoned", pc.greater_equal(score, 0.5))
         return out.drop_columns(["_idg_pred", "_idg_prob"])
 
     return scored.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _fineweb_scorer(ds, text_field: str, float_field: str, int_field: str,
-                    label_field: str, seed: int):
+                    label_field: str):
     """Shared _FineWebBaseClassifier shape (fineweb_edu.py:110-135): regression
     head -> float in [0,5], rounded int, high/low label at the 2.5 cut."""
     labels = [str(i) for i in range(6)]  # 0-5 educational-value buckets
@@ -322,8 +322,8 @@ def fineweb_edu_scorer(ds, text_field: str = "text"):
     """FineWebEduClassifier (classifiers/fineweb_edu.py:233): regression head ->
     float score in [0, 5] plus the rounded int score and quality label."""
     return _fineweb_scorer(
-        ds, text_field, "fineweb_edu_score", "fineweb_edu_score_int",
-        "fineweb-edu-score-label", seed=7,
+        ds, text_field, "fineweb-edu-score-float", "fineweb-edu-score-int",
+        "fineweb-edu-score-label",
     )
 
 
@@ -331,7 +331,7 @@ def fineweb_mixtral_edu_scorer(ds, text_field: str = "text"):
     """FineWebMixtralEduClassifier (fineweb_edu.py:295)."""
     return _fineweb_scorer(
         ds, text_field, "fineweb-mixtral-edu-score-float",
-        "fineweb-mixtral-edu-score-int", "fineweb-mixtral-edu-score-label", seed=7,
+        "fineweb-mixtral-edu-score-int", "fineweb-mixtral-edu-score-label",
     )
 
 
@@ -339,7 +339,7 @@ def fineweb_nemotron_edu_scorer(ds, text_field: str = "text"):
     """FineWebNemotronEduClassifier (fineweb_edu.py:358)."""
     return _fineweb_scorer(
         ds, text_field, "fineweb-nemotron-edu-score-float",
-        "fineweb-nemotron-edu-score-int", "fineweb-nemotron-edu-score-label", seed=7,
+        "fineweb-nemotron-edu-score-int", "fineweb-nemotron-edu-score-label",
     )
 
 

@@ -31,7 +31,6 @@ reproducible under any partitioning.
 from __future__ import annotations
 
 import json
-import math
 import random
 import re
 from collections import defaultdict
@@ -140,8 +139,9 @@ QA_TYPE_BBOX_TO_TEXT = "bbox_to_text"
 QA_TYPE_POINT_TO_TEXT = "point_to_text"
 QA_TYPE_TEXT_TO_BBOX = "text_to_bbox"
 QA_TYPE_TEXT_TO_POINT = "text_to_point"
-_MAX_INVALIDS_FOR_TEXT_TO_BBOX = 3  # ocr_dense_qa semantics: too many bad
-# boxes means "where is X" answers could silently omit an occurrence
+_MAX_INVALIDS_FOR_TEXT_TO_BBOX = 5  # ocr_dense_qa.py MAX_INVALID threshold:
+# too many bad boxes means "where is X" answers could silently omit an
+# occurrence, so the text->location QA families are disabled
 
 
 def _fmt_box(b) -> str:
@@ -298,11 +298,18 @@ class OCRScoringQAStage:
         valid = []
         for i in range(len(boxes)):
             v = per_idx.get(i)
-            ok = (
-                v is not None
-                and int(v.get("bbox_match", 0)) >= self.min_bbox_match
-                and int(v.get("text_errors", 0)) <= self.max_text_errors
-            )
+            # A real VLM client may return null / non-numeric fields; a
+            # conversion failure marks that one bbox invalid rather than
+            # failing the batch (ocr_scoring_qa.py handle_response).
+            ok = False
+            if v is not None:
+                try:
+                    ok = (
+                        int(v.get("bbox_match", 0)) >= self.min_bbox_match
+                        and int(v.get("text_errors", 0)) <= self.max_text_errors
+                    )
+                except (TypeError, ValueError):
+                    ok = False
             valid.append(ok)
         missing = verdict.get("missing_text") or []
         return valid, str(verdict.get("ocr_mode", "unknown")), len(missing)
@@ -334,6 +341,12 @@ class OCRScoringQAStage:
             miss[i] = missing
             if missing and self.fail_on_missing_text:
                 errs[i] = "ocr_scoring_qa: missing text reported"
+                continue
+            if rows[i] and n_valid[i] == 0:
+                # reference marks the image invalid before any conversation is
+                # built — otherwise the dense-dump branch would emit a
+                # degenerate empty-answer QA pair over all-invalid boxes
+                errs[i] = "ocr_scoring_qa: no bboxes passed quality threshold"
                 continue
             rng = random.Random(ids[i])  # per-image reproducible (see docstring)
             if missing == 0 and rng.random() < self.dense_dump_prob:

@@ -106,8 +106,8 @@ def test_fineweb_edu_scorer(ray_session):
 
     out = fineweb_edu_scorer(ray.data.from_arrow(_batch())).take_all()
     for r in out:
-        assert 0.0 <= r["fineweb_edu_score"] <= 5.0
-        assert r["fineweb_edu_score_int"] == round(r["fineweb_edu_score"])
+        assert 0.0 <= r["fineweb-edu-score-float"] <= 5.0
+        assert r["fineweb-edu-score-int"] == round(r["fineweb-edu-score-float"])
 
 
 def test_content_type_and_multilingual_domain(ray_session):

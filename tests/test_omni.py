@@ -85,6 +85,39 @@ def test_empty_and_unparseable():
     assert not bad["is_valid"] and "could not parse JSON" in bad["error"]
 
 
+def test_all_invalid_boxes_marks_image_invalid():
+    # every box fails the gate -> image invalid before any conversation is
+    # built, even when the dense-dump branch would otherwise fire
+    stage = OCRScoringQAStage(dense_dump_prob=1.0)
+    r = stage(_batch([_row(["a1", "b2"])])).to_pylist()[0]
+    assert r["n_valid_bboxes"] == 0
+    assert not r["is_valid"]
+    assert "no bboxes passed quality threshold" in r["error"]
+    assert r["conversation"] == ""
+
+
+def test_gate_tolerates_non_numeric_verdict_fields():
+    class NullFieldClient(EchoOCRScoringClient):
+        def generate(self, prompts, images=None):
+            return [json.dumps({
+                "ocr_mode": "word",
+                "text": [
+                    {"idx": 0, "bbox_match": None, "text_errors": 0},
+                    {"idx": 1, "bbox_match": 10, "text_errors": "zero"},
+                    {"idx": 2, "bbox_match": 10, "text_errors": 0},
+                ],
+                "missing_text": [],
+            })] * len(prompts)
+
+    stage = OCRScoringQAStage(client_factory=NullFieldClient, dense_dump_prob=0.0)
+    r = stage(_batch([_row(["aa", "bb", "cc"])])).to_pylist()[0]
+    # the two malformed verdicts mark their boxes invalid; batch survives
+    assert r["n_valid_bboxes"] == 1
+    assert r["is_valid"]
+    assert "cc" in r["conversation"]
+    assert "aa" not in r["conversation"] and "bb" not in r["conversation"]
+
+
 def test_dense_dump_and_determinism():
     forced = OCRScoringQAStage(dense_dump_prob=1.0)
     r = forced(_batch([_row(["alpha", "beta"])])).to_pylist()[0]
@@ -115,8 +148,8 @@ def test_balanced_sampler_quota():
 
 
 def test_build_qa_tagged_disables_locate_on_many_invalids():
-    boxes = _row(["a", "b", "c", "d", "e"])["ocr_dense"]
-    valid = [True, False, False, False, True]  # 3 invalid >= threshold
+    boxes = _row(["a", "b", "c", "d", "e", "f", "g"])["ocr_dense"]
+    valid = [True, False, False, False, False, False, True]  # 5 invalid >= threshold
     tagged = build_qa_tagged(boxes, valid, random.Random(1))
     assert tagged  # the two valid words still yield QA
     assert all(t in ("bbox_to_text", "point_to_text") for t, _, _ in tagged)
