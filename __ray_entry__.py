@@ -111,26 +111,6 @@ def q_exact_dedup_survivors(sf_dir: str):
     )
 
 
-def q_word_count(sf_dir: str):
-    from curator_ray.stages.text import word_count
-
-    def fn(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": b.column("doc_id"), "n_words": pc.cast(word_count(b.column("text")), pa.int64())}
-        )
-
-    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def q_token_count(sf_dir: str):
-    from curator_ray.stages.text import token_count
-
-    def fn(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": b.column("doc_id"), "n_tokens": pc.cast(token_count(b.column("text")), pa.int64())}
-        )
-
-    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_word_filter(sf_dir: str):
@@ -150,36 +130,7 @@ def q_word_filter(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_digit_count(sf_dir: str):
-    def fn(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "n_digits": pc.cast(pc.count_substring_regex(b.column("text"), r"[0-9]"), pa.int64()),
-            }
-        )
 
-    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def q_quality_score(sf_dir: str):
-    from curator_ray.stages.text import quality_score
-
-    def fn(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": b.column("doc_id"), "quality": pc.cast(quality_score(b.column("text")), pa.float64())}
-        )
-
-    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def q_url_removed(sf_dir: str):
-    from curator_ray.stages.text import url_remover
-
-    def fn(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": b.column("doc_id"), "text": url_remover(b.column("text"))})
-
-    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_docs_by_source(sf_dir: str):
@@ -277,98 +228,22 @@ def q_ann_topk(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
-def _docs_scored(sf_dir: str, out_field: str, fn):
-    def batch_fn(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": b.column("doc_id"), out_field: fn(b.column("text"))})
-
-    return _read(sf_dir, "documents").map_batches(batch_fn, batch_format="pyarrow", zero_copy_batch=True)
-
 
 def _lined(arr):
     out = pc.replace_substring(arr, " value ", ".\nvalue ")
     return pc.replace_substring(out, " table ", "\n• table ")
 
 
-def q_bullet_lines(sf_dir: str):
-    from curator_ray.stages.filters import bullet_lines_ratio
-
-    return _docs_scored(sf_dir, "bullet_ratio", lambda a: bullet_lines_ratio(_lined(a)))
 
 
-def q_punct_lines(sf_dir: str):
-    from curator_ray.stages.filters import punct_lines_ratio
-
-    return _docs_scored(sf_dir, "punct_ratio", lambda a: punct_lines_ratio(_lined(a)))
 
 
-def q_ellipsis_lines(sf_dir: str):
-    from curator_ray.stages.filters import ellipsis_lines_ratio
-
-    return _docs_scored(
-        sf_dir, "ellipsis_ratio", lambda a: ellipsis_lines_ratio(pc.replace_substring(a, " sort ", "...\nsort "))
-    )
 
 
-def q_long_word(sf_dir: str):
-    from curator_ray.stages.filters import long_word_max
-
-    return _docs_scored(sf_dir, "max_word_len", long_word_max)
 
 
-def q_common_words(sf_dir: str):
-    from curator_ray.stages.filters import common_word_count
-
-    return _docs_scored(sf_dir, "n_common", common_word_count)
 
 
-def q_mean_word_len(sf_dir: str):
-    from curator_ray.stages.filters import mean_word_length_ref
-
-    return _docs_scored(sf_dir, "mean_wlen", mean_word_length_ref)
-
-
-def q_words_alpha(sf_dir: str):
-    from curator_ray.stages.filters import words_with_alpha_ratio
-
-    return _docs_scored(
-        sf_dir, "alpha_word_ratio", lambda a: words_with_alpha_ratio(pc.replace_substring(a, " row ", " 123 "))
-    )
-
-
-def q_urls_ratio(sf_dir: str):
-    from curator_ray.stages.filters import urls_ratio
-
-    return _docs_scored(
-        sf_dir,
-        "url_ratio",
-        lambda a: urls_ratio(pc.replace_substring(a, " spark ", " https://spark.example/q?x=1 ")),
-    )
-
-
-def q_parens_ratio(sf_dir: str):
-    from curator_ray.stages.filters import parentheses_ratio
-
-    return _docs_scored(
-        sf_dir, "paren_ratio", lambda a: parentheses_ratio(pc.replace_substring(a, " part ", " (part) "))
-    )
-
-
-def q_top2gram(sf_dir: str):
-    from curator_ray.stages.filters import repeating_top_ngrams_ratio
-
-    return _docs_scored(sf_dir, "top2gram", lambda a: repeating_top_ngrams_ratio(a, 2))
-
-
-def q_fertility(sf_dir: str):
-    from curator_ray.stages.filters import tokenizer_fertility
-
-    return _docs_scored(sf_dir, "fertility", tokenizer_fertility)
-
-
-def q_substring_prefix(sf_dir: str):
-    from curator_ray.stages.filters import substring_present
-
-    return _docs_scored(sf_dir, "has_prefix", lambda a: substring_present(a, "key", "prefix"))
 
 
 # --------------------------------------------------------------------------
@@ -480,29 +355,6 @@ def q_semantic_dedup(sf_dir: str):
     return _collect(removal)
 
 
-def q_lsh_ann_topk(sf_dir: str):
-    from curator_ray.stages.ann import lsh_topk
-
-    q = _query_vectors(sf_dir, 3)
-    return lsh_topk(_read(sf_dir, "embeddings"), q, k=10, num_tables=12, num_bits=8)
-
-
-def q_alpha_fraction(sf_dir: str):
-    from curator_ray.stages.text import alpha_fraction
-
-    def fn(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": b.column("doc_id"), "alpha_frac": pc.cast(alpha_fraction(b.column("text")), pa.float64())}
-        )
-
-    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def q_ivf_ann_topk(sf_dir: str):
-    from curator_ray.stages.ann import ivf_topk
-
-    q = _query_vectors(sf_dir, 3)
-    return ivf_topk(_read(sf_dir, "embeddings"), q, k=10, n_clusters=16, nprobe=4)
 
 
 def q_image_semantic_dedup(sf_dir: str):
@@ -532,73 +384,8 @@ def q_lang_id(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_quality_classifier(sf_dir: str):
-    """Model-based classification (stub weights): rows-only by design —
-    tokenizer + micro-batched model actor pools per classifiers/base.py:163."""
-    from curator_ray.stages.classifier import quality_classifier
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return quality_classifier(ds).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "quality_pred": b.column("quality_pred"),
-                "quality_prob": b.column("quality_prob"),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
 
 
-def q_fineweb_edu(sf_dir: str):
-    from curator_ray.stages.classifier import fineweb_edu_scorer
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return fineweb_edu_scorer(ds).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "fineweb_edu_score": b.column("fineweb-edu-score-float"),
-                "fineweb_edu_score_int": b.column("fineweb-edu-score-int"),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-
-def q_content_type(sf_dir: str):
-    """Model-based (stub weights): rows-only — classifiers/content_type.py:28."""
-    from curator_ray.stages.classifier import content_type_classifier
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return content_type_classifier(ds).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "content_pred": b.column("content_pred"),
-                "content_prob": b.column("content_prob"),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-
-def q_prompt_complexity(sf_dir: str):
-    """Multi-headed model (stub weights): rows-only —
-    classifiers/prompt_task_complexity.py:282."""
-    from curator_ray.stages.classifier import (
-        PTC_OUTPUT_FIELDS,
-        prompt_task_complexity_classifier,
-    )
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    cols = ["doc_id", *PTC_OUTPUT_FIELDS]
-    return prompt_task_complexity_classifier(ds).map_batches(
-        lambda b: b.select(cols), batch_format="pyarrow", zero_copy_batch=True
-    )
 
 
 def q_qa_multilingual(sf_dir: str):
@@ -705,39 +492,6 @@ def _ft_model(labels: list[str], name: str) -> str:
     return path
 
 
-def q_fasttext_quality(sf_dir: str):
-    """FastText model-file path (fasttext_filters.py:23-55): the .bin loads
-    once per worker in the actor pool; scored + Pareto-filtered."""
-    from curator_ray.stages.embedder import fasttext_quality_filter
-
-    path = _ft_model(["__label__hq", "__label__lq"], "quality")
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return fasttext_quality_filter(ds, path).map_batches(
-        lambda b: pa.table(
-            {"doc_id": b.column("doc_id"), "fasttext_quality_score": b.column("fasttext_quality_score")}
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-
-def q_fasttext_langid(sf_dir: str):
-    """FastTextLangId (fasttext_filters.py:58-90) with the stub model file."""
-    from curator_ray.stages.embedder import fasttext_langid
-
-    path = _ft_model(["__label__en", "__label__de", "__label__fr"], "langid")
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return fasttext_langid(ds, path, min_langid_score=0.0, filter_rows=False).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "fasttext_lang": b.column("fasttext_lang"),
-                "fasttext_lang_score": b.column("fasttext_lang_score"),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
 
 
 def q_split_docs(sf_dir: str):
@@ -1023,41 +777,6 @@ def q_text_curation(sf_dir: str):
     )
 
 
-def q_line_removed(sf_dir: str):
-    """LineRemover (reference modifiers/string/line_remover.py:17): exact-match
-    lines dropped. Marker lines are injected around each doc, so the cleaned
-    output must equal the original text."""
-    from curator_ray.stages.text import line_remover, modify_stage
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-
-    def inject(b: pa.Table) -> pa.Table:
-        t = pc.binary_join_element_wise(
-            pa.scalar("REMOVE\n"), _mod_text(b), pa.scalar("\nREMOVE"), ""
-        )
-        return pa.table({"doc_id": b.column("doc_id"), "text": t})
-
-    injected = ds.map_batches(inject, batch_format="pyarrow")
-    return modify_stage(injected, lambda a: line_remover(a, ["REMOVE"]), "text")
-
-
-def q_fasttext_labeled(sf_dir: str):
-    """FastTextLabelModifier (reference modifiers/fasttext/fasttext_label.py:17):
-    newline-flattened text behind a training label. Docs are first exploded to
-    one word per line so the flattening is exercised."""
-    import functools
-
-    from curator_ray.stages.text import fasttext_label, modify_stage
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-
-    def explode(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": b.column("doc_id"), "text": pc.replace_substring(_mod_text(b), " ", "\n")}
-        )
-
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
-    return modify_stage(exploded, functools.partial(fasttext_label, label="__label__en"), "text")
 
 
 def q_translation(sf_dir: str):
@@ -1079,20 +798,6 @@ def q_translation(sf_dir: str):
     wrapped = ds.map_batches(wrap, batch_format="pyarrow")
     return translate_documents(wrapped)
 
-
-def q_unicode_cleaned(sf_dir: str):
-    """UnicodeReformatter subset (reference modifiers/unicode/unicode_reformatter.py:21):
-    entity unescape + control-char removal over docs wrapped in '&amp;...<BEL>'."""
-    from curator_ray.stages.text import modify_stage, unicode_reformatter
-
-    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-
-    def wrap(b: pa.Table) -> pa.Table:
-        t = pc.binary_join_element_wise(pa.scalar("&amp;"), _mod_text(b), pa.scalar("\x07"), "")
-        return pa.table({"doc_id": b.column("doc_id"), "text": t})
-
-    wrapped = ds.map_batches(wrap, batch_format="pyarrow")
-    return modify_stage(wrapped, unicode_reformatter, "text")
 
 
 def q_knowledge_list_post(sf_dir: str):
@@ -1160,6 +865,290 @@ def q_split_join_roundtrip(sf_dir: str):
     return document_joiner(document_splitter(ds, "text", " "), "text", " ")
 
 
+
+# --------------------------------------------------------------------------
+# Consolidated multi-column queries (VERDICT r2 item 2: the driver records
+# only the first 50 registry entries, so single-filter queries are folded
+# into one row per operator family to make every family driver-visible).
+# --------------------------------------------------------------------------
+
+
+def q_heuristic_scores(sf_dir: str):
+    """Heuristic DocumentFilter family, one score column per filter (folds
+    the former word_count / token_count / digit_count / quality_score /
+    alpha_fraction / long_word / common_words / mean_word_len / fertility /
+    substring_prefix / top2gram single-filter queries). All kernels are
+    vectorized Arrow/numpy (stages/text.py, stages/filters.py)."""
+    from curator_ray.stages.filters import (
+        common_word_count,
+        long_word_max,
+        mean_word_length_ref,
+        repeating_top_ngrams_ratio,
+        substring_present,
+        tokenizer_fertility,
+    )
+    from curator_ray.stages.text import alpha_fraction, quality_score, token_count, word_count
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = _mod_text(b)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_words": pc.cast(word_count(t), pa.int64()),
+                "n_tokens": pc.cast(token_count(t), pa.int64()),
+                "n_digits": pc.cast(pc.count_substring_regex(t, r"[0-9]"), pa.int64()),
+                "quality": pc.cast(quality_score(t), pa.float64()),
+                "alpha_frac": pc.cast(alpha_fraction(t), pa.float64()),
+                "max_word_len": pc.cast(long_word_max(t), pa.int64()),
+                "n_common": pc.cast(common_word_count(t), pa.int64()),
+                "mean_wlen": pc.cast(mean_word_length_ref(t), pa.float64()),
+                "fertility": pc.cast(tokenizer_fertility(t), pa.float64()),
+                "has_prefix": pc.cast(substring_present(t, "key", "prefix"), pa.int64()),
+                "top2gram": pc.cast(repeating_top_ngrams_ratio(t, 2), pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_line_scores(sf_dir: str):
+    """Line/char-structure heuristic family (folds bullet_lines / punct_lines
+    / ellipsis_lines / words_alpha / urls_ratio / parens_ratio). The sf
+    documents are single-line symbol-free text, so each column first applies
+    its own deterministic structuring substring-replace (expressed identically
+    in Arrow and SQL) so the oracle checks real value variation."""
+    from curator_ray.stages.filters import (
+        bullet_lines_ratio,
+        ellipsis_lines_ratio,
+        parentheses_ratio,
+        punct_lines_ratio,
+        urls_ratio,
+        words_with_alpha_ratio,
+    )
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = _mod_text(b)
+        lined = _lined(t)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "bullet_ratio": pc.cast(bullet_lines_ratio(lined), pa.float64()),
+                "punct_ratio": pc.cast(punct_lines_ratio(lined), pa.float64()),
+                "ellipsis_ratio": pc.cast(
+                    ellipsis_lines_ratio(pc.replace_substring(t, " sort ", "...\nsort ")), pa.float64()
+                ),
+                "alpha_word_ratio": pc.cast(
+                    words_with_alpha_ratio(pc.replace_substring(t, " row ", " 123 ")), pa.float64()
+                ),
+                "url_ratio": pc.cast(
+                    urls_ratio(pc.replace_substring(t, " spark ", " https://spark.example/q?x=1 ")),
+                    pa.float64(),
+                ),
+                "paren_ratio": pc.cast(
+                    parentheses_ratio(pc.replace_substring(t, " part ", " (part) ")), pa.float64()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_modifiers_applied(sf_dir: str):
+    """Modify-stage family (folds url_removed / line_removed /
+    fasttext_labeled / unicode_cleaned): four real modify_stage passes, each
+    over its own wrapped copy of the text so every modifier has work to do
+    (markers injected around each doc, words exploded to lines, entities +
+    control chars added); one oracle column per modifier."""
+    import functools
+
+    from curator_ray.stages.text import (
+        fasttext_label,
+        line_remover,
+        modify_stage,
+        unicode_reformatter,
+        url_remover,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def wrap(b: pa.Table) -> pa.Table:
+        t = _mod_text(b)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "url_removed": t,
+                "line_removed": pc.binary_join_element_wise(
+                    pa.scalar("REMOVE\n"), t, pa.scalar("\nREMOVE"), ""
+                ),
+                "labeled": pc.replace_substring(t, " ", "\n"),
+                "unicode_cleaned": pc.binary_join_element_wise(
+                    pa.scalar("&amp;"), t, pa.scalar("\x07"), ""
+                ),
+            }
+        )
+
+    out = ds.map_batches(wrap, batch_format="pyarrow")
+    out = modify_stage(out, url_remover, "url_removed")
+    out = modify_stage(out, lambda a: line_remover(a, ["REMOVE"]), "line_removed")
+    out = modify_stage(out, functools.partial(fasttext_label, label="__label__en"), "labeled")
+    out = modify_stage(out, unicode_reformatter, "unicode_cleaned")
+    return out
+
+
+def q_fasttext_scores(sf_dir: str):
+    """FastText model-file family (folds fasttext_quality / fasttext_langid;
+    fasttext_filters.py:23-90): langid (no row filter) then quality Pareto
+    scoring, each loading its .bin once per actor. Rows-only: model scores."""
+    from curator_ray.stages.embedder import fasttext_langid, fasttext_quality_filter
+
+    qpath = _ft_model(["__label__hq", "__label__lq"], "quality")
+    lpath = _ft_model(["__label__en", "__label__de", "__label__fr"], "langid")
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    withlang = fasttext_langid(ds, lpath, min_langid_score=0.0, filter_rows=False)
+    scored = fasttext_quality_filter(withlang, qpath, filter_rows=False)
+    return scored.map_batches(
+        lambda b: b.select(
+            ["doc_id", "fasttext_lang", "fasttext_lang_score", "fasttext_quality_score"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_approx_ann_recall(sf_dir: str):
+    """LSH- and IVF-bucketed approximate top-k, self-verifying (VERDICT r2
+    item 3b): recall@10 of each method vs the exact brute-force top-k (itself
+    oracle-checked as ann_topk) is computed inside the query and returned as a
+    checkable column; the oracle asserts recall >= 0.5 per (method, query).
+    Measured at these probe parameters: 0.7-1.0 across sf0.001/0.01/0.1."""
+    from curator_ray.stages.ann import brute_force_topk, ivf_topk, lsh_topk
+
+    q = _query_vectors(sf_dir, 3)
+    ds = _read(sf_dir, "embeddings")
+
+    def sets(res) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {}
+        for r in res.select_columns(["query_id", "vec_id"]).take_all():
+            out.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        return out
+
+    brute = sets(brute_force_topk(ds, q, k=10))
+    rows = []
+    for method, res in (
+        ("ivf", ivf_topk(ds, q, k=10, n_clusters=16, nprobe=8)),
+        ("lsh", lsh_topk(ds, q, k=10, num_tables=32, num_bits=5)),
+    ):
+        approx = sets(res)
+        for qid in sorted(brute):
+            recall = len(brute[qid] & approx.get(qid, set())) / 10.0
+            rows.append((method, qid, recall >= 0.5))
+    return pa.table(
+        {
+            "method": pa.array([r[0] for r in rows], pa.string()),
+            "query_id": pa.array([r[1] for r in rows], pa.int64()),
+            "recall_ok": pa.array([r[2] for r in rows], pa.bool_()),
+        }
+    )
+
+
+def q_classifier_parity(sf_dir: str):
+    """Classifier registry, oracle-checked via distributed-vs-direct parity
+    (VERDICT r2 item 3a; folds quality_classifier / fineweb_edu /
+    content_type / prompt_complexity): each classifier runs through the REAL
+    distributed path (tokenizer actor pool -> length-sorted micro-batched
+    model actor pool -> seq_order restore, classifiers/base.py:163) and every
+    output is compared against a direct single-process application of the same
+    deterministic stub models. Misalignment in the seq_order protocol,
+    micro-batch slicing or label mapping shows up as a nonzero mismatch
+    count; the oracle pins all counts to zero and recomputes n_docs. Float
+    comparisons use a 1e-3 tolerance (micro-batch shapes may change BLAS
+    summation order)."""
+    import pyarrow.parquet as pq
+
+    from curator_ray.stages.classifier import (
+        CONTENT_TYPE_LABELS,
+        PTC_OUTPUT_FIELDS,
+        QUALITY_LABELS,
+        ClassifierModelStage,
+        PromptTaskComplexityModelStage,
+        TokenizerStage,
+        content_type_classifier,
+        fineweb_edu_scorer,
+        prompt_task_complexity_classifier,
+        quality_classifier,
+    )
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    direct_in = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    n_docs = direct_in.num_rows
+
+    def dist(d, cols):
+        t = pa.concat_tables(
+            pa.table(b).select(cols) for b in d.iter_batches(batch_format="pyarrow")
+        )
+        return t.sort_by("doc_id")
+
+    def n_bad_f(a: pa.Table, b: pa.Table, col: str, tol: float = 1e-3) -> int:
+        x = np.asarray(a.column(col).to_numpy(zero_copy_only=False), dtype=np.float64)
+        y = np.asarray(b.column(col).to_numpy(zero_copy_only=False), dtype=np.float64)
+        return int(np.sum(~np.isclose(x, y, atol=tol, rtol=0.0)))
+
+    def n_bad_s(a: pa.Table, b: pa.Table, col: str) -> int:
+        return n_docs - pc.sum(
+            pc.cast(pc.equal(a.column(col), b.column(col)), pa.int64())
+        ).as_py()
+
+    def tok(tbl, max_seq_length=512):
+        return TokenizerStage(max_seq_length=max_seq_length, sort_by_length=False)(tbl)
+
+    # quality: High/Medium/Low head
+    d_q = dist(quality_classifier(ds), ["doc_id", "quality_pred", "quality_prob"])
+    s_q = ClassifierModelStage(
+        QUALITY_LABELS, label_field="quality_pred", score_field="quality_prob", has_seq_order=False
+    )(tok(direct_in))
+    quality_mismatch = n_bad_s(d_q, s_q, "quality_pred") + n_bad_f(d_q, s_q, "quality_prob")
+
+    # content type: 11 labels, max_seq_length=1024
+    d_c = dist(content_type_classifier(ds), ["doc_id", "content_pred", "content_prob"])
+    s_c = ClassifierModelStage(
+        CONTENT_TYPE_LABELS, label_field="content_pred", score_field="content_prob", has_seq_order=False
+    )(tok(direct_in, max_seq_length=1024))
+    content_mismatch = n_bad_s(d_c, s_c, "content_pred") + n_bad_f(d_c, s_c, "content_prob")
+
+    # fineweb-edu: 6-bucket head -> blended float score (classifier.py _fineweb_scorer)
+    d_f = dist(fineweb_edu_scorer(ds), ["doc_id", "fineweb-edu-score-float"])
+    s_raw = ClassifierModelStage(
+        [str(i) for i in range(6)], label_field="_fw_bucket", score_field="_fw_prob", has_seq_order=False
+    )(tok(direct_in))
+    bucket = np.asarray(s_raw.column("_fw_bucket").to_pylist(), dtype=np.float64)
+    prob = s_raw.column("_fw_prob").to_numpy(zero_copy_only=False)
+    s_score = np.clip(bucket + (prob - 0.5), 0.0, 5.0)
+    d_score = d_f.column("fineweb-edu-score-float").to_numpy(zero_copy_only=False)
+    fineweb_mismatch = int(np.sum(~np.isclose(d_score, s_score, atol=1e-3, rtol=0.0)))
+
+    # prompt-task-complexity: 8 heads, 11 output fields
+    d_p = dist(prompt_task_complexity_classifier(ds), ["doc_id", *PTC_OUTPUT_FIELDS])
+    s_p = PromptTaskComplexityModelStage(has_seq_order=False)(tok(direct_in))
+    ptc_mismatch = 0
+    for f in PTC_OUTPUT_FIELDS:
+        if f.startswith("task_type_") and f != "task_type_prob":
+            ptc_mismatch += n_bad_s(d_p, s_p, f)
+        else:
+            ptc_mismatch += n_bad_f(d_p, s_p, f)
+
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "quality_mismatch": pa.array([quality_mismatch], pa.int64()),
+            "content_mismatch": pa.array([content_mismatch], pa.int64()),
+            "fineweb_mismatch": pa.array([fineweb_mismatch], pa.int64()),
+            "ptc_mismatch": pa.array([ptc_mismatch], pa.int64()),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1169,77 +1158,68 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """One entry per operator family (SURVEY.md §2 / COVERAGE.md). Kept at
+    <= 50 entries because the driver records correctness for the first 50
+    registry entries only (VERDICT r2 item 2); single-filter queries are
+    folded into the consolidated multi-column queries above."""
     return {
+        # exact dedup family
         "exact_dedup_removals": q_exact_dedup_removals,
         "exact_dedup_prefix40": q_exact_dedup_prefix40,
         "exact_dedup_survivors": q_exact_dedup_survivors,
-        "word_count": q_word_count,
-        "token_count": q_token_count,
+        # heuristic filters / scores (consolidated)
+        "heuristic_scores": q_heuristic_scores,
+        "line_scores": q_line_scores,
         "word_filter": q_word_filter,
-        "digit_count": q_digit_count,
-        "quality_score": q_quality_score,
-        "url_removed": q_url_removed,
+        "modifiers_applied": q_modifiers_applied,
+        # aggregates / sorts / limits
         "docs_by_source": q_docs_by_source,
         "docs_by_lang": q_docs_by_lang,
         "top10_longest": q_top10_longest,
         "events_by_type": q_events_by_type,
+        # similarity search
         "ann_topk": q_ann_topk,
-        "alpha_fraction": q_alpha_fraction,
-        "bullet_lines": q_bullet_lines,
-        "punct_lines": q_punct_lines,
-        "ellipsis_lines": q_ellipsis_lines,
-        "long_word": q_long_word,
-        "common_words": q_common_words,
-        "mean_word_len": q_mean_word_len,
-        "words_alpha": q_words_alpha,
-        "urls_ratio": q_urls_ratio,
-        "parens_ratio": q_parens_ratio,
-        "top2gram": q_top2gram,
-        "fertility": q_fertility,
-        "substring_prefix": q_substring_prefix,
-        # rows-only (non-SQL-expressible)
+        "approx_ann_recall": q_approx_ann_recall,
+        # text analysis
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        # dedup pipelines
         "minhash_docs": q_minhash_docs,
         "fuzzy_dedup_images": q_fuzzy_dedup_images,
         "simhash_images": q_simhash_images,
+        "simhash_docs": q_simhash_docs,
         "substring_images": q_substring_images,
+        "substring_sa_pairs": q_substring_sa_pairs,
         "image_dedup_survivors": q_image_dedup_survivors,
         "semantic_dedup": q_semantic_dedup,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "lang_id": q_lang_id,
         "image_semantic_dedup": q_image_semantic_dedup,
-        "fingerprint": q_fingerprint,
-        "simhash_docs": q_simhash_docs,
-        "quality_classifier": q_quality_classifier,
-        "fineweb_edu": q_fineweb_edu,
-        "text_embeddings": q_text_embeddings,
-        "fasttext_quality": q_fasttext_quality,
-        "fasttext_langid": q_fasttext_langid,
-        "split_docs": q_split_docs,
-        "split_join_roundtrip": q_split_join_roundtrip,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_dups": q_cosine_dups,
-        "substring_sa_pairs": q_substring_sa_pairs,
+        # model-stage scaffolds
+        "classifier_parity": q_classifier_parity,
+        "text_embeddings": q_text_embeddings,
+        "fasttext_scores": q_fasttext_scores,
+        "finemath_score": q_finemath_score,
+        # splitter / joiner / chunking
+        "split_docs": q_split_docs,
+        "split_join_roundtrip": q_split_join_roundtrip,
+        "token_chunks": q_token_chunks,
+        "token_chunk_roundtrip": q_token_chunk_roundtrip,
+        # download / extract
         "wiki_extract": q_wiki_extract,
         "cc_warc_extract": q_cc_warc_extract,
         "arxiv_extract": q_arxiv_extract,
-        "token_chunks": q_token_chunks,
-        "token_chunk_roundtrip": q_token_chunk_roundtrip,
         "notebook_extract": q_notebook_extract,
-        "finemath_score": q_finemath_score,
+        # synthetic / omni / translation
         "knowledge_list_post": q_knowledge_list_post,
         "wiki_rephrase_synth": q_wiki_rephrase_synth,
         "diverse_qa_post": q_diverse_qa_post,
-        "line_removed": q_line_removed,
-        "fasttext_labeled": q_fasttext_labeled,
-        "unicode_cleaned": q_unicode_cleaned,
-        "translation": q_translation,
-        "text_curation": q_text_curation,
-        "content_type": q_content_type,
-        "prompt_complexity": q_prompt_complexity,
         "qa_multilingual": q_qa_multilingual,
         "ocr_bbox_gate": q_ocr_bbox_gate,
         "ocr_scoring_qa": q_ocr_scoring_qa,
+        "translation": q_translation,
+        # end-to-end composites
+        "text_curation": q_text_curation,
     }
 
 
@@ -1363,6 +1343,66 @@ FROM t
 """
 
 
+_WORDS_CTE = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+_HEURISTIC_SQL = f"""
+SELECT b.doc_id,
+       b.n_words, b.n_tokens, b.n_digits, q.quality, b.alpha_frac,
+       w.max_word_len, w.n_common, w.mean_wlen, b.fertility, b.has_prefix, t2.top2gram
+FROM (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+         CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE / length(text) ELSE 0 END AS alpha_frac,
+         CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) = 0 THEN -1.0
+              ELSE length(text)::DOUBLE / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) END AS fertility,
+         (CASE WHEN text LIKE 'key%' THEN 1 ELSE 0 END)::BIGINT AS has_prefix
+  FROM documents
+) b
+JOIN (
+  SELECT doc_id,
+         (CASE WHEN len(ws) = 0 THEN 0 ELSE list_max(list_transform(ws, x -> length(x))) END)::BIGINT AS max_word_len,
+         len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with')))::BIGINT AS n_common,
+         CASE WHEN len(ws) = 0 THEN 0.0 ELSE list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) END AS mean_wlen
+  FROM (SELECT doc_id, {_WORDS_CTE} AS ws FROM documents)
+) w ON w.doc_id = b.doc_id
+JOIN ({_QUALITY_SQL}) q ON q.doc_id = b.doc_id
+JOIN ({_TOP2GRAM_SQL}) t2 ON t2.doc_id = b.doc_id
+"""
+
+_WORDS_ALPHA_SQL = (
+    r"WITH d AS (SELECT doc_id, replace(text, ' row ', ' 123 ') AS t FROM documents), "
+    r"w AS (SELECT doc_id, list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '') AS ws FROM d) "
+    "SELECT doc_id, CASE WHEN len(ws) = 0 THEN 1.0 ELSE "
+    "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(ws) END AS alpha_word_ratio FROM w"
+)
+
+_URLS_RATIO_SQL = (
+    "WITH d AS (SELECT doc_id, replace(text, ' spark ', ' https://spark.example/q?x=1 ') AS t FROM documents) "
+    "SELECT doc_id, CASE WHEN length(t) = 0 THEN 1.0 ELSE "
+    r"(length(t) - length(regexp_replace(t, 'https?://(?:[A-Za-z0-9$\-_@.&+/:=?#~]|[!*\(\),]|(?:%[0-9A-Fa-f]{2}))+', '', 'g')))::DOUBLE / length(t) END AS url_ratio FROM d"
+)
+
+_PARENS_RATIO_SQL = (
+    "WITH d AS (SELECT doc_id, replace(text, ' part ', ' (part) ') AS t FROM documents) "
+    "SELECT doc_id, CASE WHEN length(t) = 0 THEN 1.0 ELSE "
+    r"len(regexp_extract_all(t, '[{}⟨⟩\[\]()]'))::DOUBLE / length(t) END AS paren_ratio FROM d"
+)
+
+_LINE_SCORES_SQL = f"""
+SELECT b.doc_id, b.bullet_ratio, p.punct_ratio, e.ellipsis_ratio,
+       wa.alpha_word_ratio, u.url_ratio, pr.paren_ratio
+FROM ({_BULLET_SQL}) b
+JOIN ({_PUNCT_SQL}) p ON p.doc_id = b.doc_id
+JOIN ({_ELLIPSIS_SQL}) e ON e.doc_id = b.doc_id
+JOIN ({_WORDS_ALPHA_SQL}) wa ON wa.doc_id = b.doc_id
+JOIN ({_URLS_RATIO_SQL}) u ON u.doc_id = b.doc_id
+JOIN ({_PARENS_RATIO_SQL}) pr ON pr.doc_id = b.doc_id
+"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_removals": (
@@ -1377,20 +1417,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text FROM documents "
             "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY substr(text,1,40))"
         ),
-        "word_count": (
-            r"SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_words FROM documents"
+        "heuristic_scores": _HEURISTIC_SQL,
+        "line_scores": _LINE_SCORES_SQL,
+        "modifiers_applied": (
+            r"SELECT doc_id, regexp_replace(text, 'https?://\S+|www\.\S+', '', 'g') AS url_removed, "
+            "text AS line_removed, '__label__en ' || text AS labeled, "
+            "'&' || text AS unicode_cleaned FROM documents ORDER BY doc_id"
         ),
-        "token_count": (
-            r"SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens FROM documents"
+        "approx_ann_recall": (
+            "SELECT m.method, q.query_id, true AS recall_ok "
+            "FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m "
+            "CROSS JOIN (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 3) q "
+            "ORDER BY method, query_id"
+        ),
+        "classifier_parity": (
+            "SELECT COUNT(*)::BIGINT AS n_docs, 0::BIGINT AS quality_mismatch, "
+            "0::BIGINT AS content_mismatch, 0::BIGINT AS fineweb_mismatch, "
+            "0::BIGINT AS ptc_mismatch FROM documents"
         ),
         "word_filter": (
             r"WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_words FROM documents) "
             "SELECT doc_id, n_words FROM t WHERE n_words BETWEEN 20 AND 60"
-        ),
-        "digit_count": "SELECT doc_id, len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits FROM documents",
-        "quality_score": _QUALITY_SQL,
-        "url_removed": (
-            r"SELECT doc_id, regexp_replace(text, 'https?://\S+|www\.\S+', '', 'g') AS text FROM documents"
         ),
         "docs_by_source": (
             "SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars FROM documents GROUP BY source"
@@ -1403,52 +1450,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*)::BIGINT AS n_events, "
             "SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT AS sum_cents FROM events GROUP BY event_type"
         ),
-        "alpha_fraction": (
-            "SELECT doc_id, CASE WHEN length(text) > 0 THEN "
-            "len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE / length(text) ELSE 0 END AS alpha_frac FROM documents"
-        ),
         "simhash_docs": _SIMHASH_DOCS_SQL,
         "lang_id": _LANG_ID_SQL,
-        "bullet_lines": _BULLET_SQL,
-        "punct_lines": _PUNCT_SQL,
-        "ellipsis_lines": _ELLIPSIS_SQL,
-        "long_word": (
-            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents) "
-            "SELECT doc_id, (CASE WHEN len(ws) = 0 THEN 0 ELSE list_max(list_transform(ws, x -> length(x))) END)::BIGINT AS max_word_len FROM w"
-        ),
-        "common_words": (
-            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents) "
-            "SELECT doc_id, len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with')))::BIGINT AS n_common FROM w"
-        ),
-        "mean_word_len": (
-            r"WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws FROM documents) "
-            "SELECT doc_id, CASE WHEN len(ws) = 0 THEN 0.0 ELSE "
-            "list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) END AS mean_wlen FROM w"
-        ),
-        "words_alpha": (
-            r"WITH d AS (SELECT doc_id, replace(text, ' row ', ' 123 ') AS t FROM documents), "
-            r"w AS (SELECT doc_id, list_filter(string_split_regex(trim(t), '\s+'), x -> x <> '') AS ws FROM d) "
-            "SELECT doc_id, CASE WHEN len(ws) = 0 THEN 1.0 ELSE "
-            "len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(ws) END AS alpha_word_ratio FROM w"
-        ),
-        "urls_ratio": (
-            "WITH d AS (SELECT doc_id, replace(text, ' spark ', ' https://spark.example/q?x=1 ') AS t FROM documents) "
-            "SELECT doc_id, CASE WHEN length(t) = 0 THEN 1.0 ELSE "
-            r"(length(t) - length(regexp_replace(t, 'https?://(?:[A-Za-z0-9$\-_@.&+/:=?#~]|[!*\(\),]|(?:%[0-9A-Fa-f]{2}))+', '', 'g')))::DOUBLE / length(t) END AS url_ratio FROM d"
-        ),
-        "parens_ratio": (
-            "WITH d AS (SELECT doc_id, replace(text, ' part ', ' (part) ') AS t FROM documents) "
-            "SELECT doc_id, CASE WHEN length(t) = 0 THEN 1.0 ELSE "
-            r"len(regexp_extract_all(t, '[{}⟨⟩\[\]()]'))::DOUBLE / length(t) END AS paren_ratio FROM d"
-        ),
-        "top2gram": _TOP2GRAM_SQL,
-        "fertility": (
-            r"WITH t AS (SELECT doc_id, length(text) AS nch, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS nt FROM documents) "
-            "SELECT doc_id, CASE WHEN nt = 0 THEN -1.0 ELSE nch::DOUBLE / nt END AS fertility FROM t"
-        ),
-        "substring_prefix": (
-            "SELECT doc_id, (CASE WHEN text LIKE 'key%' THEN 1 ELSE 0 END)::BIGINT AS has_prefix FROM documents"
-        ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3), "
             "s AS (SELECT q.query_id, e.vec_id, "
@@ -1513,13 +1516,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "wiki_rephrase_synth": (
             "SELECT doc_id, text AS rephrased FROM documents ORDER BY doc_id"
-        ),
-        "line_removed": "SELECT doc_id, text FROM documents ORDER BY doc_id",
-        "fasttext_labeled": (
-            "SELECT doc_id, '__label__en ' || text AS text FROM documents ORDER BY doc_id"
-        ),
-        "unicode_cleaned": (
-            "SELECT doc_id, '&' || text AS text FROM documents ORDER BY doc_id"
         ),
         "translation": (
             "SELECT doc_id, '```' || chr(10) || 'code x' || chr(10) || '```' "
