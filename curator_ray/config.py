@@ -85,9 +85,15 @@ class SemanticDedupConfig:
     # runs full Lloyd iterations over the whole Dataset (combiner map_batches
     # per round — the CPU counterpart of the reference's RAFT k-means)
     fit_mode: str = "sample"
-    # clusters larger than this are re-clustered once with a per-cluster
+    # clusters larger than the cap are re-clustered once with a per-cluster
     # sub-k-means before the pairwise stage, bounding per-task memory in
     # ``groupby(cluster).map_groups`` (the reference ships whole clusters to
     # 80 GB GPUs instead); near-identical rows share a nearest sub-centroid,
-    # so near-dup recall loss is confined to sub-cluster boundaries
-    max_cluster_size: int = 200_000
+    # so near-dup recall loss is confined to sub-cluster boundaries.
+    # The cap is a BYTE budget divided by the runtime embedding width
+    # (``max_cluster_bytes // (dim * 8)``): a fixed row cap silently scales
+    # per-task bytes with dim — 200k rows is ~100 MB at dim=64 but ~2.4 GB
+    # at a production dim=1536. ``max_cluster_size`` (rows) overrides the
+    # derived cap when set explicitly; 0 disables splitting entirely.
+    max_cluster_bytes: int = 256 * 1024 * 1024
+    max_cluster_size: int | None = None

@@ -29,7 +29,9 @@ def fuzzy_candidate_edges(ds_with_ids, cfg: FuzzyDedupConfig, cache_dir: str | N
     if cache_dir:
         sig_path = os.path.join(cache_dir, "minhash")
         os.makedirs(sig_path, exist_ok=True)
-        sig.write_parquet(sig_path)
+        # 16k rows/file: ~1 KB/row of signature ints -> ~16 MB files instead
+        # of one file per upstream block (see image_dedup._checkpointed)
+        sig.write_parquet(sig_path, min_rows_per_file=16_384)
         sig = ray.data.read_parquet(sig_path)
     elif not single_wave:
         # multiple band waves re-consume the signatures; keep them lazy when

@@ -62,7 +62,11 @@ def _checkpointed(manifest: CheckpointManifest | None, stage: str, part: str, fp
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    ds.write_parquet(out_dir)
+    # coalesce: signature/edge stages emit many small blocks (one per band
+    # wave / sort partition); without a floor the checkpoint dir gets one
+    # file per block (PERF.md "Known costs") and the resume re-read pays
+    # per-file open cost. 32k rows ~ a few MB per file at signature widths.
+    ds.write_parquet(out_dir, min_rows_per_file=32_768)
     out = ray.data.read_parquet(out_dir)
     if manifest is not None:
         manifest.record(stage, part, fp, counters=_dir_counters(out_dir, stage))

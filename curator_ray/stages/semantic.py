@@ -205,33 +205,44 @@ def _pairwise_group(group: pa.Table, *, cfg: SemanticDedupConfig) -> pa.Table:
     en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
     scores = np.zeros(n, dtype=np.float64)
     B = cfg.pairwise_batch_size
+    # column-chunk the earlier-rows matmul so the transient sims buffer is
+    # bounded at B*C*8 bytes regardless of cluster size (an unchunked
+    # ``en[s:e] @ en[:e].T`` is B*N*8 — 1.6 GB at N=200k, dwarfing the
+    # N*dim*8 embedding matrix the byte budget accounts for)
+    C = 8192
     for s in range(1, n, B):
         e = min(n, s + B)
         m = e - s
-        # max cosine of rows[s:e] against all strictly-earlier rows (O(N*B) memory)
-        sims = en[s:e] @ en[:e].T
-        prev_max = sims[:, :s].max(axis=1)
-        tri = sims[:, s:e].copy()
+        # max cosine of rows[s:e] against all strictly-earlier rows
+        best = np.full(m, -np.inf)
+        for cs in range(0, s, C):
+            ce = min(s, cs + C)
+            np.maximum(best, (en[s:e] @ en[cs:ce].T).max(axis=1), out=best)
+        tri = en[s:e] @ en[s:e].T
         tri[np.arange(m)[None, :] >= np.arange(m)[:, None]] = -np.inf
-        scores[s:e] = np.maximum(prev_max, tri.max(axis=1, initial=-np.inf))
+        scores[s:e] = np.maximum(best, tri.max(axis=1, initial=-np.inf))
     return pa.table({"id": pa.array(ids, pa.int64()), "cosine_sim_score": pa.array(scores, pa.float64())})
 
 
-def split_oversized_clusters(assigned, cfg: SemanticDedupConfig):
-    """Re-cluster clusters above ``cfg.max_cluster_size`` once with a
-    per-cluster sub-k-means so no single ``map_groups`` task holds an
-    unbounded group (the reference's ``break_parquet_partition_into_groups``
-    solves the same problem for its 2^31-row cudf limit; here the bound is
-    worker heap). Two extra passes total, independent of how many clusters
-    are oversized."""
+def split_oversized_clusters(assigned, cfg: SemanticDedupConfig, row_cap: int | None = None):
+    """Re-cluster clusters above ``row_cap`` rows once with a per-cluster
+    sub-k-means so no single ``map_groups`` task holds an unbounded group
+    (the reference's ``break_parquet_partition_into_groups`` solves the same
+    problem for its 2^31-row cudf limit; here the bound is worker heap).
+    Clusters that sub-k-means cannot split — N identical embeddings all land
+    on one sub-centroid — fall back to a deterministic id-hash round-robin
+    shard: identical vectors score 1.0 against any member, so sharding only
+    changes which single representative per shard survives. Constant extra
+    passes total, independent of how many clusters are oversized."""
     import ray
 
+    cap = row_cap or cfg.max_cluster_size or 200_000
     assigned = assigned.materialize()
     sizes = {
         int(r["centroid_id"]): int(r["count()"])
         for r in assigned.groupby("centroid_id").count().take_all()
     }
-    oversized = {cid: n for cid, n in sizes.items() if n > cfg.max_cluster_size}
+    oversized = {cid: n for cid, n in sizes.items() if n > cap}
     if not oversized:
         return assigned
     next_id = max(sizes) + 1
@@ -239,7 +250,7 @@ def split_oversized_clusters(assigned, cfg: SemanticDedupConfig):
     # one filtered random-sample pass over all oversized clusters at once
     over_set = set(oversized)
     total_over = sum(oversized.values())
-    want = sum(min(50 * -(-n // cfg.max_cluster_size), n) for n in oversized.values())
+    want = sum(min(50 * -(-n // cap), n) for n in oversized.values())
     frac = min(1.0, (1.25 * want) / total_over)
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -263,14 +274,14 @@ def split_oversized_clusters(assigned, cfg: SemanticDedupConfig):
     sub: dict[int, tuple[np.ndarray, int]] = {}
     for cid, n in oversized.items():
         pts = np.concatenate(by_cid.get(cid, [np.zeros((0, 1))]))
-        k_sub = -(-n // cfg.max_cluster_size)
+        k_sub = -(-n // cap)
         if len(pts) < 2 or k_sub < 2:
             continue
         sub_cfg = SemanticDedupConfig(n_clusters=k_sub, seed=cfg.seed, kmeans_max_iters=10)
         sub[cid] = (kmeans_fit(pts, sub_cfg), next_id)
         next_id += k_sub
     if not sub:
-        return assigned
+        return _hash_shard_oversized(assigned, oversized, cap, next_id, cfg)
     ref = ray.put(sub)
 
     def reassign(batch: pa.Table) -> pa.Table:
@@ -305,7 +316,55 @@ def split_oversized_clusters(assigned, cfg: SemanticDedupConfig):
             names.index("cosine_dist_to_cent"), "cosine_dist_to_cent", pa.array(cos, pa.float64())
         )
 
-    return assigned.map_batches(reassign, batch_format="pyarrow", zero_copy_batch=True)
+    assigned = assigned.map_batches(reassign, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # sub-k-means cannot split a cluster whose members are (near-)identical:
+    # every point lands on one sub-centroid and the cluster survives whole.
+    # Re-measure and hash-shard whatever is still over the cap.
+    sizes2 = {
+        int(r["centroid_id"]): int(r["count()"])
+        for r in assigned.groupby("centroid_id").count().take_all()
+    }
+    still = {cid: n for cid, n in sizes2.items() if n > cap}
+    if not still:
+        return assigned
+    return _hash_shard_oversized(assigned, still, cap, max(sizes2) + 1, cfg)
+
+
+def _hash_shard_oversized(assigned, oversized: dict[int, int], cap: int, next_id: int, cfg: SemanticDedupConfig):
+    """Deterministic id-hash round-robin shard of clusters sub-k-means could
+    not split (identical embeddings). Sharding a group of identical vectors
+    only changes HOW MANY representatives survive (one per shard instead of
+    one total — bounded by ceil(n/cap)); no true near-dup above eps is lost
+    within a shard, and distances to the (unchanged) centroid stay valid."""
+    import ray
+
+    shards: dict[int, tuple[int, int]] = {}
+    for cid, n in sorted(oversized.items()):
+        k_shard = -(-n // cap)
+        if k_shard < 2:
+            continue
+        shards[cid] = (next_id, k_shard)
+        next_id += k_shard
+    if not shards:
+        return assigned
+    ref = ray.put(shards)
+
+    def shard(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        cid = batch.column("centroid_id").to_numpy().copy()
+        idv = batch.column(cfg.id_field)
+        try:
+            ids = idv.to_numpy().astype(np.uint64)
+        except (TypeError, ValueError):  # non-integer id column: positional
+            ids = np.arange(len(batch), dtype=np.uint64)
+        for c, (base, k) in table.items():
+            rows = np.flatnonzero(cid == c)
+            if len(rows):
+                cid[rows] = base + (ids[rows] % np.uint64(k)).astype(np.int64)
+        names = batch.column_names
+        return batch.set_column(names.index("centroid_id"), "centroid_id", pa.array(cid, pa.int64()))
+
+    return assigned.map_batches(shard, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def semantic_duplicate_ids(ds, cfg: SemanticDedupConfig):
@@ -322,8 +381,16 @@ def semantic_duplicate_ids(ds, cfg: SemanticDedupConfig):
         centroids = kmeans_fit(sample, cfg)
 
     assigned = kmeans_assign(ds, centroids, cfg)
-    if cfg.max_cluster_size:
-        assigned = split_oversized_clusters(assigned, cfg)
+    # per-task row cap for the pairwise groupby: explicit row override, else
+    # the byte budget divided by the runtime embedding width (so dim=1536
+    # production embeddings get a proportionally smaller cap than dim=64)
+    if cfg.max_cluster_size is not None:
+        row_cap = cfg.max_cluster_size
+    else:
+        dim = max(1, int(centroids.shape[1]) if centroids.ndim == 2 else 1)
+        row_cap = max(1024, cfg.max_cluster_bytes // (dim * 8))
+    if row_cap:
+        assigned = split_oversized_clusters(assigned, cfg, row_cap=row_cap)
     scored = assigned.groupby("centroid_id").map_groups(
         functools.partial(_pairwise_group, cfg=cfg), batch_format="pyarrow"
     )
