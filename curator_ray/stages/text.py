@@ -15,6 +15,7 @@ within each doc).
 from __future__ import annotations
 
 import functools
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -294,17 +295,83 @@ _CONTROL_CHARS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
 # &amp; must unescape LAST so "&amp;lt;" single-unescapes to "&lt;"
 _HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
+# ---------------------------------------------------------------- mojibake
+# The published ftfy fix_encoding core (the algorithm the reference's
+# UnicodeReformatter delegates to, modifiers/unicode/unicode_reformatter.py:23):
+# UTF-8 bytes mis-decoded as cp1252/latin-1 leave a recognizable signature —
+# a UTF-8 lead character (U+00C2..U+00F4) followed by characters whose
+# "sloppy-cp1252" byte lies in the UTF-8 continuation range 0x80..0xBF.
+# Repair = re-encode the matched run through sloppy-cp1252 (cp1252 for the
+# 0x80..0x9F printables, latin-1 identity otherwise) and strictly re-decode
+# as UTF-8; a failed decode leaves the run untouched. Run-limited matching
+# means genuine Latin-1 prose ("déjà vu") never matches: the follower set is
+# punctuation/C1 territory, not letters.
+_BYTE_FOR: dict[int, int] = {}
+_TRAIL = [chr(c) for c in range(0x80, 0xC0)]
+for _b in range(0x80, 0xA0):
+    try:
+        _ch = bytes([_b]).decode("cp1252")
+    except UnicodeDecodeError:  # 0x81 0x8D 0x8F 0x90 0x9D are undefined
+        continue
+    _BYTE_FOR[ord(_ch)] = _b
+    _TRAIL.append(_ch)
+_T_CLS = "[" + re.escape("".join(_TRAIL)) + "]"
+_MOJI_SEQ = re.compile(
+    "(?:[\xc2-\xdf]%(t)s|[\xe0-\xef]%(t)s{2}|[\xf0-\xf4]%(t)s{3})+" % {"t": _T_CLS}
+)
+
+
+def _repair_mojibake_run(m: "re.Match[str]") -> str:
+    seg = m.group()
+    bs = bytes(_BYTE_FOR.get(ord(c), ord(c)) for c in seg)
+    try:
+        return bs.decode("utf-8")
+    except UnicodeDecodeError:
+        return seg
+
+
+def fix_mojibake_text(s: str, max_passes: int = 3) -> str:
+    """Repair cp1252/latin-1-mis-decoded UTF-8 in ``s``; iterates so
+    double-encoded text ("ÃƒÂ©" -> "Ã©" -> "é") converges."""
+    for _ in range(max_passes):
+        new = _MOJI_SEQ.sub(_repair_mojibake_run, s)
+        if new == s:
+            return s
+        s = new
+    return s
+
+
+def fix_mojibake(arr) -> pa.Array:
+    """Vectorized wrapper: the UTF-8-lead-char pre-filter runs as an Arrow
+    regex over every row; the per-row Python repair only touches the (rare
+    in clean corpora) matching minority."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    mask = pc.match_substring_regex(arr, "[\xc2-\xf4]").to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(mask == True)  # noqa: E712 — mask may contain None
+    if not len(idx):
+        return arr
+    vals = np.asarray(arr.to_pylist(), dtype=object)
+    for i in idx:
+        if vals[i] is not None:
+            vals[i] = fix_mojibake_text(vals[i])
+    return pa.array(vals, pa.string())
+
 
 def unicode_reformatter(arr, normalization: str | None = None,
                         remove_control_chars: bool = True,
-                        unescape_html: bool = True) -> pa.Array:
-    """Vectorized subset of the reference UnicodeReformatter
-    (modifiers/unicode/unicode_reformatter.py:21-): ftfy is absent in this
-    sandbox, so the mojibake/encoding repair passes are not implemented; the
-    deterministic fixes are — control-character removal (C0 minus tab/LF/CR,
-    DEL, C1), basic named-entity unescaping, and Unicode normalization via
-    Arrow's ``utf8_normalize``."""
+                        unescape_html: bool = True,
+                        fix_encoding: bool = True) -> pa.Array:
+    """Vectorized counterpart of the reference UnicodeReformatter
+    (modifiers/unicode/unicode_reformatter.py:21-): mojibake repair via the
+    published ftfy fix_encoding round-trip heuristic (``fix_mojibake``, the
+    ftfy package itself is absent in this sandbox), control-character
+    removal (C0 minus tab/LF/CR, DEL, C1), basic named-entity unescaping,
+    and Unicode normalization. Repair runs FIRST — C1 controls and entities
+    can be bytes of a mis-decoded sequence."""
     out = arr
+    if fix_encoding:
+        out = fix_mojibake(out)
     if unescape_html:
         for ent, ch in _HTML_ENTITIES:
             out = pc.replace_substring(out, ent, ch)

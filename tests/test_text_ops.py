@@ -218,3 +218,39 @@ def test_line_remover_null_text():
 
     out = line_remover(pa.array(["keep\nDROP", None]), ["DROP"]).to_pylist()
     assert out == ["keep", ""]
+
+
+def test_fix_mojibake_classic_fixtures():
+    from curator_ray.stages.text import fix_mojibake
+
+    good = "déjà vu — naïve café"
+    cases = pa.array(
+        [
+            "Ã©",  # é through latin-1
+            "This â€” that, â€œquotedâ€\x9d, donâ€™t",  # cp1252 punctuation family
+            "ÃƒÂ©",  # double-encoded é converges over two passes
+            "SÃ£o Paulo â€“ AtlÃ¢ntico",
+            good,  # genuine accented text is untouched
+            "plain ascii stays",
+            None,
+        ]
+    )
+    out = fix_mojibake(cases).to_pylist()
+    assert out[0] == "é"
+    assert out[1] == "This — that, “quoted”, don’t"
+    assert out[2] == "é"
+    assert out[3] == "São Paulo – Atlântico"
+    assert out[4] == good
+    assert out[5] == "plain ascii stays"
+    assert out[6] is None
+
+
+def test_unicode_reformatter_repairs_before_stripping():
+    from curator_ray.stages.text import unicode_reformatter
+
+    # U+201D mis-decodes to "â€" + C1 control 0x9D: the control char is PART
+    # of the broken sequence, so repair must run before control stripping
+    arr = pa.array(["â€\x9dend"])
+    assert unicode_reformatter(arr).to_pylist() == ["”end"]
+    # and with repair disabled, the old deterministic behavior holds
+    assert unicode_reformatter(arr, fix_encoding=False).to_pylist() == ["â€end"]
