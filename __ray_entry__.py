@@ -659,6 +659,55 @@ def q_cc_warc_extract(sf_dir: str):
     )
 
 
+def q_cc_extractor_variants(sf_dir: str):
+    """The two non-default HTML extraction algorithms (reference
+    html_extractors/resiliparse.py:21 and trafilatura.py:24 — implemented as
+    pure functions in functions/htmltext.py) over the same WARC fixture as
+    cc_warc_extract, one result row per (algorithm, doc). With stopword
+    density gates at 0 and a single-paragraph page, both algorithms must
+    reproduce the document text exactly, which the oracle checks."""
+    import glob
+
+    from curator_ray.functions.htmltext import EN_STOP_WORDS
+    from curator_ray.sources.download import (
+        CommonCrawlHTMLExtractor,
+        LocalCopyDownloader,
+        WarcIterator,
+        download_extract_dataset,
+    )
+
+    fix = _download_fixture_dir(sf_dir, "warc")
+    files = sorted(glob.glob(os.path.join(fix, "*.warc.gz")))
+    stop_lists = {lang: EN_STOP_WORDS for lang in ("en", "de", "fr", "es", "it", "xx")}
+    variants = {
+        "resiliparse": CommonCrawlHTMLExtractor(
+            stop_lists=stop_lists, algorithm="resiliparse", required_stopword_density=0.0
+        ),
+        "trafilatura": CommonCrawlHTMLExtractor(
+            stop_lists=stop_lists,
+            algorithm="trafilatura",
+            required_stopword_density=0.0,
+            min_extracted_size=1,
+        ),
+    }
+    out = None
+    for name, extractor in variants.items():
+        ds = download_extract_dataset(
+            files, LocalCopyDownloader(), WarcIterator(), extractor, add_filename_column=False
+        ).map_batches(
+            lambda b, tag=name: pa.table(
+                {
+                    "doc_id": pc.cast(pc.replace_substring_regex(b.column("url"), ".*/", ""), pa.int64()),
+                    "algorithm": pa.array([tag] * len(b), pa.string()),
+                    "text": b.column("text"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        out = ds if out is None else out.union(ds)
+    return out
+
+
 def q_arxiv_extract(sf_dir: str):
     """ArXiv download->iterate->extract pipeline (sources/download.py;
     reference stages/text/download/arxiv, RedPajama rules): each doc is a
@@ -1208,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # download / extract
         "wiki_extract": q_wiki_extract,
         "cc_warc_extract": q_cc_warc_extract,
+        "cc_extractor_variants": q_cc_extractor_variants,
         "arxiv_extract": q_arxiv_extract,
         "notebook_extract": q_notebook_extract,
         # synthetic / omni / translation
@@ -1487,6 +1537,11 @@ def oracle_sql() -> dict[str, str]:
         "wiki_extract": "SELECT doc_id, text FROM documents ORDER BY doc_id",
         "cc_warc_extract": (
             "SELECT doc_id, text FROM documents WHERE length(text) > 200 ORDER BY doc_id"
+        ),
+        "cc_extractor_variants": (
+            "SELECT doc_id, algorithm, text FROM documents "
+            "CROSS JOIN (SELECT unnest(['resiliparse', 'trafilatura']) AS algorithm) "
+            "ORDER BY algorithm, doc_id"
         ),
         "arxiv_extract": (
             "SELECT doc_id, '\\section{D' || doc_id || '}' || chr(10) || text AS text "

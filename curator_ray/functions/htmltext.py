@@ -184,3 +184,186 @@ def decode_html(content: bytes | str) -> str | None:
             except LookupError:
                 pass
         return content.decode("latin-1", "replace")
+
+
+# ---------------------------------------------------------------------------
+# Resiliparse-style and Trafilatura-style extraction (reference
+# ``html_extractors/resiliparse.py:21`` / ``trafilatura.py:24`` — both wrap
+# external libraries absent in this sandbox; the algorithms below implement
+# the documented behavior: resiliparse = fast rule-based visible-text dump
+# with optional main-content heuristics, trafilatura = main-content
+# delimitation with fallbacks, paragraph dedup, and size gates. Both apply
+# the reference's added stopword-density paragraph filter.)
+# ---------------------------------------------------------------------------
+
+_BOILER_TAGS = frozenset(("nav", "header", "footer", "aside", "form"))
+_BOILER_HINT = re.compile(
+    r"nav|menu|footer|header|side(bar)?|banner|breadcrumb|cookie|advert|"
+    r"\bad[sv]?\b|social|share|comment|widget|related|pagination|skip",
+    re.I,
+)
+_LIST_TAGS = frozenset(("li", "dd", "dt"))
+
+
+class _VisibleTextSegmenter(HTMLParser):
+    """Visible-text blocks with boilerplate ancestry: each block is
+    (text, link_chars, boiler_depth>0, is_list_item, is_heading)."""
+
+    def __init__(self, alt_texts: bool = False) -> None:
+        super().__init__(convert_charrefs=True)
+        self.alt_texts = alt_texts
+        self.blocks: list[tuple[str, int, bool, bool, bool]] = []
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._in_link = 0
+        self._skip = 0
+        self._heading = 0
+        self._list_item = 0
+        self._boiler = 0
+        self._boiler_stack: list[str] = []  # tags that incremented _boiler
+
+    def _flush(self) -> None:
+        text = re.sub(r"\s+", " ", "".join(self._parts)).strip()
+        if text:
+            self.blocks.append(
+                (text, self._link_chars, self._boiler > 0, self._list_item > 0, self._heading > 0)
+            )
+        self._parts, self._link_chars = [], 0
+
+    def _is_boiler(self, tag: str, attrs: list) -> bool:
+        if tag in _BOILER_TAGS:
+            return True
+        for k, v in attrs:
+            if k in ("class", "id", "role") and v and _BOILER_HINT.search(v):
+                return True
+        return False
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag in _BLOCK_TAGS or tag == "br":
+            self._flush()
+        if tag == "img" and self.alt_texts and not self._skip:
+            alt = next((v for k, v in attrs if k == "alt" and v), None)
+            if alt:
+                self._parts.append(" " + alt + " ")
+        if not self._skip and self._is_boiler(tag, attrs):
+            self._boiler += 1
+            self._boiler_stack.append(tag)
+        if tag == "a":
+            self._in_link += 1
+        if tag in _HEADING_TAGS:
+            self._heading += 1
+        if tag in _LIST_TAGS:
+            self._list_item += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and self._skip:
+            self._skip -= 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        if self._boiler_stack and self._boiler_stack[-1] == tag:
+            self._boiler_stack.pop()
+            self._boiler -= 1
+        if tag == "a" and self._in_link:
+            self._in_link -= 1
+        if tag in _HEADING_TAGS and self._heading:
+            self._heading -= 1
+        if tag in _LIST_TAGS and self._list_item:
+            self._list_item -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip:
+            return
+        self._parts.append(data)
+        if self._in_link:
+            self._link_chars += len(data)
+
+
+def _segment_visible(html: str, alt_texts: bool = False) -> list[tuple[str, int, bool, bool, bool]]:
+    seg = _VisibleTextSegmenter(alt_texts=alt_texts)
+    try:
+        seg.feed(html)
+        seg.close()
+    except Exception:  # malformed markup: salvage what was segmented
+        pass
+    seg._flush()
+    return seg.blocks
+
+
+def _stopword_density_filter(
+    paragraphs: list[str], stop_words: frozenset[str], required_density: float
+) -> list[str]:
+    """The reference's added paragraph gate (resiliparse.py:60-78 /
+    trafilatura.py:119-137): keep paragraphs whose stopword fraction meets
+    the density bar."""
+    out = []
+    for p in paragraphs:
+        words = p.split()
+        if not words:
+            continue
+        density = sum(w in stop_words for w in words) / len(words)
+        if density >= required_density:
+            out.append(p)
+    return out
+
+
+def extract_resiliparse_style(
+    html: str,
+    stop_words: frozenset[str] = EN_STOP_WORDS,
+    required_stopword_density: float = 0.32,
+    main_content: bool = True,
+    alt_texts: bool = False,
+) -> list[str] | None:
+    """Resiliparse ``extract_plain_text`` semantics (reference
+    ``html_extractors/resiliparse.py:21-79``): every visible text node in
+    the body with basic formatting (list items bulleted), ``main_content``
+    dropping nav/header/footer/aside and boilerplate-classed containers —
+    then the reference's stopword-density paragraph filter."""
+    blocks = _segment_visible(html, alt_texts=alt_texts)
+    if main_content:
+        blocks = [b for b in blocks if not b[2]]
+    paragraphs = [("• " + t) if is_li else t for t, _lc, _b, is_li, _h in blocks]
+    out = _stopword_density_filter(paragraphs, stop_words, required_stopword_density)
+    return out or None
+
+
+def extract_trafilatura_style(
+    html: str,
+    stop_words: frozenset[str] = EN_STOP_WORDS,
+    required_stopword_density: float = 0.32,
+    min_extracted_size: int = 250,
+    max_link_density: float = 0.5,
+    min_duplcheck_size: int = 100,
+    max_repetitions: int = 2,
+) -> list[str] | None:
+    """Trafilatura-cascade semantics (reference
+    ``html_extractors/trafilatura.py:24-150``): (1) main-content
+    delimitation — drop boilerplate containers and link-dense blocks; (2) if
+    the extraction is smaller than ``min_extracted_size`` chars, fall back to
+    the jusText classifier, then to the raw visible-text baseline; (3) drop
+    paragraphs of >= ``min_duplcheck_size`` chars repeated more than
+    ``max_repetitions`` times (trafilatura's deduplicate=True default in the
+    reference wrapper); (4) the stopword-density paragraph filter."""
+    blocks = _segment_visible(html)
+    main = [
+        t
+        for t, lc, boiler, _li, _h in blocks
+        if not boiler and (len(t) == 0 or lc / len(t) <= max_link_density)
+    ]
+    if sum(len(t) for t in main) < min_extracted_size:
+        fallback = extract_html_text(html, stop_words)
+        if fallback:
+            main = fallback
+        else:  # baseline: any visible text beats returning nothing
+            main = [t for t, _lc, _b, _li, _h in blocks]
+    seen: dict[str, int] = {}
+    deduped = []
+    for p in main:
+        if len(p) >= min_duplcheck_size:
+            seen[p] = seen.get(p, 0) + 1
+            if seen[p] > max_repetitions:
+                continue
+        deduped.append(p)
+    out = _stopword_density_filter(deduped, stop_words, required_stopword_density)
+    return out or None

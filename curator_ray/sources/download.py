@@ -257,14 +257,38 @@ class ArxivIterator:
 
 class CommonCrawlHTMLExtractor:
     """HTML → main text + language (reference
-    ``common_crawl/extract.py:29-104``; jusText algorithm)."""
+    ``common_crawl/extract.py:29-104``). ``algorithm`` selects the
+    extraction algorithm like the reference's ``html_extraction`` arg:
+    ``justext`` (default), ``resiliparse``, or ``trafilatura`` — see
+    ``functions/htmltext.py`` for each algorithm's semantics."""
 
     input_columns = ["url", "warc_id", "source_id", "content"]
     output_columns = ["url", "warc_id", "source_id", "language", "text"]
 
-    def __init__(self, stop_lists: dict[str, frozenset[str]] | None = None, **justext_kwargs):
+    _ALGORITHMS = ("justext", "resiliparse", "trafilatura")
+
+    def __init__(
+        self,
+        stop_lists: dict[str, frozenset[str]] | None = None,
+        algorithm: str = "justext",
+        **extractor_kwargs,
+    ):
+        if algorithm not in self._ALGORITHMS:
+            raise ValueError(f"algorithm must be one of {self._ALGORITHMS}, got {algorithm!r}")
         self.stop_lists = stop_lists or {"en": EN_STOP_WORDS}
-        self.kwargs = justext_kwargs
+        self.algorithm = algorithm
+        self.kwargs = extractor_kwargs
+
+    def _extract_paragraphs(self, html: str, stop_words: frozenset[str]) -> list[str] | None:
+        if self.algorithm == "resiliparse":
+            from ..functions.htmltext import extract_resiliparse_style
+
+            return extract_resiliparse_style(html, stop_words, **self.kwargs)
+        if self.algorithm == "trafilatura":
+            from ..functions.htmltext import extract_trafilatura_style
+
+            return extract_trafilatura_style(html, stop_words, **self.kwargs)
+        return extract_html_text(html, stop_words, **self.kwargs)
 
     def extract(self, record: dict[str, Any]) -> dict[str, Any] | None:
         html = decode_html(record.get("content") or b"")
@@ -273,7 +297,7 @@ class CommonCrawlHTMLExtractor:
         lang = self._detect_lang(html)
         if lang not in self.stop_lists:
             return None
-        paragraphs = extract_html_text(html, self.stop_lists[lang], **self.kwargs)
+        paragraphs = self._extract_paragraphs(html, self.stop_lists[lang])
         if not paragraphs:
             return None
         return {

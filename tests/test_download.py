@@ -98,6 +98,78 @@ def test_cc_html_extractor():
     assert ex.extract({**rec, "content": b""}) is None
 
 
+_FULL_PAGE = (
+    "<html><head><title>T</title><script>var x=1;</script></head><body>"
+    "<header class='site-header'><a href='/'>Logo</a> tagline words here</header>"
+    "<nav><a href='/a'>A</a><a href='/b'>B</a></nav>"
+    f"<main><h1>The Article Title</h1><p>{GOOD_PARA}</p>"
+    f"<ul><li>{GOOD_PARA}</li></ul>"
+    "<img src='x.png' alt='a diagram of the system'>"
+    f"<p>{GOOD_PARA} Second paragraph continues the discussion.</p></main>"
+    f"<div class='related-posts'><p>{GOOD_PARA}</p></div>"
+    "<footer>Copyright legal footer with all of the usual words in it</footer>"
+    "</body></html>"
+)
+
+
+@pytest.mark.parametrize("algorithm", ["justext", "resiliparse", "trafilatura"])
+def test_cc_extractor_algorithms(algorithm):
+    ex = CommonCrawlHTMLExtractor(algorithm=algorithm)
+    rec = {
+        "url": "http://x.example/",
+        "warc_id": "w1",
+        "source_id": "s",
+        "content": _FULL_PAGE.encode(),
+    }
+    out = ex.extract(rec)
+    assert out is not None and out["language"] == "en"
+    assert "classified as good content" in out["text"]  # main prose survives
+    assert "var x=1" not in out["text"]  # script content never leaks
+    assert ex.extract({**rec, "content": b""}) is None
+
+
+def test_resiliparse_style_semantics():
+    from curator_ray.functions.htmltext import extract_resiliparse_style
+
+    # main_content drops header/nav/footer and boilerplate-classed divs
+    paras = extract_resiliparse_style(_FULL_PAGE)
+    text = "\n".join(paras)
+    assert "Logo" not in text and "Copyright" not in text
+    assert "related" not in text.lower() or GOOD_PARA not in text.split("related")[0]
+    assert any(p.startswith("• ") for p in paras)  # list items bulleted
+    # main_content=False keeps everything visible (density filter still on)
+    all_paras = extract_resiliparse_style(_FULL_PAGE, main_content=False)
+    assert len(all_paras) > len(paras)
+    # alt_texts surfaces image descriptions
+    with_alt = extract_resiliparse_style(
+        "<html><body><p>" + GOOD_PARA + " <img alt='the friendly dog was here with all of the other dogs'></p></body></html>",
+        alt_texts=True,
+        required_stopword_density=0.2,
+    )
+    assert any("friendly dog" in p for p in with_alt)
+
+
+def test_trafilatura_style_semantics():
+    from curator_ray.functions.htmltext import extract_trafilatura_style
+
+    # paragraph dedup: a >=100-char paragraph repeated 4x keeps only 2 copies
+    repeated = f"<p>{GOOD_PARA}</p>" * 4
+    html = f"<html><body><main>{repeated}</main></body></html>"
+    paras = extract_trafilatura_style(html)
+    assert paras.count(GOOD_PARA) == 2
+    # min_extracted_size triggers the jusText fallback path on tiny main content
+    tiny = "<html><body><nav class='nav'>x</nav><p>" + GOOD_PARA + "</p></body></html>"
+    paras2 = extract_trafilatura_style(tiny, min_extracted_size=10_000)
+    assert paras2 and GOOD_PARA in paras2[0]
+    # link-dense blocks drop
+    linky = (
+        "<html><body><main><p><a href='/1'>one two three four five six seven eight nine ten</a>"
+        f" x</p><p>{GOOD_PARA}</p></main></body></html>"
+    )
+    paras3 = extract_trafilatura_style(linky)
+    assert all("one two three" not in p for p in paras3)
+
+
 def test_html_extract_boilerplate_classes():
     html = (
         "<html><body>"
