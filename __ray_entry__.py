@@ -388,6 +388,57 @@ def q_lang_id(sf_dir: str):
 
 
 
+def q_audio_metrics(sf_dir: str):
+    """Audio family end-to-end, oracle-checked: derive an audio-manifest
+    table from documents (tiny real WAV payloads whose frame count follows a
+    SQL-expressible rule), parse duration from the RIFF headers, compute
+    CER/edit-distance metrics (DuckDB ``levenshtein`` is the oracle for the
+    from-scratch DP). Reference: stages/audio/common.py:44 (duration),
+    stages/audio/metrics/wer.py:29 (CER)."""
+    from curator_ray.stages.audio import (
+        audio_duration_stage,
+        derive_audio_table,
+        wer_stage,
+    )
+
+    ds = derive_audio_table(_read(sf_dir, "documents"), with_audio=True)
+    ds = audio_duration_stage(ds)
+    ds = wer_stage(
+        ds,
+        hypothesis_field="pred_text",
+        reference_field="text",
+        duration_field="duration",
+        clean=False,
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["audio_id", "text", "pred_text", "duration", "cer_dist", "cer", "ref_tokens"])
+
+    return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True).sort("audio_id")
+
+
+def q_audio_asr_wer(sf_dir: str):
+    """ASR -> pairwise WER over the deterministic tone-codec corpus
+    (rows-only: FFT decode is not SQL-expressible; the row values are
+    self-consistent — wer_pct is exactly 0 on clean rows and 100/8 on
+    ``corrupted`` rows, asserted in tests/test_audio.py). Reference:
+    stages/audio/inference/asr/asr_nemo.py:29 + metrics/wer.py:318."""
+    from curator_ray.stages.audio import (
+        asr_inference_stage,
+        derive_asr_corpus,
+        pairwise_wer_stage,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"]).limit(300)
+    corpus = derive_asr_corpus(docs)
+    out = pairwise_wer_stage(asr_inference_stage(corpus))
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["audio_id", "text", "pred_text", "corrupted", "wer_pct"])
+
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True).sort("audio_id")
+
+
 def q_qa_multilingual(sf_dir: str):
     """Generator stage (EmptyTask -> rows): rows-only —
     synthetic/qa_multilingual_synthetic.py:33."""
@@ -1268,6 +1319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_bbox_gate": q_ocr_bbox_gate,
         "ocr_scoring_qa": q_ocr_scoring_qa,
         "translation": q_translation,
+        # audio family
+        "audio_metrics": q_audio_metrics,
+        "audio_asr_wer": q_audio_asr_wer,
         # end-to-end composites
         "text_curation": q_text_curation,
     }
@@ -1453,6 +1507,26 @@ JOIN ({_PARENS_RATIO_SQL}) pr ON pr.doc_id = b.doc_id
 
 
 
+_AUDIO_METRICS_SQL = r"""
+WITH a AS (
+  SELECT CAST(doc_id AS VARCHAR) AS audio_id,
+         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 80) AS text
+  FROM documents
+), b AS (
+  SELECT audio_id, text, replace(text, 'e', '') AS pred_text FROM a
+)
+SELECT audio_id, text, pred_text,
+       ((length(text) % 50) + 10) * 16 / 16000.0 AS duration,
+       CAST(levenshtein(pred_text, text) AS BIGINT) AS cer_dist,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(levenshtein(pred_text, text) AS DOUBLE) / length(text) END AS cer,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+            END AS BIGINT) AS ref_tokens
+FROM b ORDER BY audio_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_removals": (
@@ -1601,4 +1675,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b "
             "FROM grams a JOIN grams b USING (g) WHERE a.id <> b.id ORDER BY id_a, id_b"
         ),
+        "audio_metrics": _AUDIO_METRICS_SQL,
     }

@@ -1,0 +1,532 @@
+"""Audio curation stages: duration, WER/CER metrics, bandwidth, ASR, filters.
+
+Ray-Data-native re-expression of the reference audio stack's CPU-computable
+core (``reference/nemo_curator/stages/audio/``):
+
+- ``GetAudioDurationStage`` (``common.py:44-76``: ``soundfile.info(path)``)
+  -> :func:`audio_duration_stage` parses RIFF headers from the ``binary``
+  audio column (header-only, no sample decode) via ``functions/wav.py``;
+- ``ComputeWERStage`` / ``GetPairwiseWerStage`` (``metrics/wer.py:29-355``)
+  -> :func:`wer_stage` / :func:`pairwise_wer_stage` over hyp/ref string
+  columns, backed by the from-scratch edit-distance DP in
+  ``functions/editdist.py`` (NeMo/editdistance absent in sandbox). The NeMo
+  text Normalizer (numbers->words) is an external model pipeline and is
+  gated; the character-level ``clean_text`` tables are implemented;
+- ``BandwidthEstimationStage`` (``metrics/bandwidth.py:29-146``)
+  -> :func:`bandwidth_stage`: Welch mean power spectrum with a 4-term
+  Blackman-Harris window + dB threshold scan, pure numpy (librosa absent);
+- ``PreserveByValueStage`` (``common.py:78-132``)
+  -> :func:`preserve_by_value_stage` as a vectorized Arrow filter;
+- ``InferenceAsrNemoStage`` (``inference/asr/asr_nemo.py:29-127``)
+  -> :func:`asr_inference_stage`: actor-pool ``map_batches`` class; the real
+  NeMo model path is gated (torch/nemo absent); the in-sandbox model is
+  :class:`ToneAsrModel`, a real DSP decoder for the deterministic tone codec
+  used by the synthetic corpus (energy segmentation + FFT argmax), so the
+  pipeline ASR -> WER -> filter is end-to-end meaningful and testable;
+- ``AudioToDocumentStage`` (``io/convert.py:38-90``)
+  -> :func:`audio_to_documents`: drop payload columns (projection);
+- ``ManifestReader/Writer`` (``common.py:135-310``) -> the engine's existing
+  ``sources/io.py read_jsonl / write_jsonl`` already cover JSONL manifests.
+
+Data model: one audio row = ``(audio_id, audio:binary, text, pred_text,
+duration, ...)`` — opaque payload bytes beside typed metadata, the same
+multimodal-column discipline as images (FIXTURES.md F1). Segment-level
+processing is row-level here: the reference's ``segments`` list-of-dicts
+becomes exploded segment rows (one per utterance), the same columnar move
+the translation family makes for line segments.
+
+Scale: duration reads ~44 bytes/row; WER/bandwidth are inherently per-row
+kernels (documented; they run inside ``map_batches`` so blocks stream), and
+the wide ops remain zero — this family is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.editdist import char_distance_batch, error_rate_detail
+from ..functions.wav import decode_wav, encode_wav, wav_info
+
+# --------------------------------------------------------------------------
+# duration
+# --------------------------------------------------------------------------
+
+
+def audio_duration_stage(ds, audio_field: str = "audio", duration_field: str = "duration"):
+    """Add ``duration`` (seconds, float64) parsed from WAV container headers.
+
+    Unparseable payloads get ``-1.0`` like the reference's failure path
+    (``common.py:33-41`` returns -1.0 on soundfile errors).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blobs = batch.column(audio_field)
+        out = np.full(len(batch), -1.0, dtype=np.float64)
+        for i, blob in enumerate(blobs):
+            b = blob.as_py()
+            if b is None:
+                continue
+            try:
+                out[i] = wav_info(b).duration
+            except Exception:
+                out[i] = -1.0
+        return batch.append_column(duration_field, pa.array(out, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# text cleaning (reference wer.py clean_text, sans the gated NeMo Normalizer)
+# --------------------------------------------------------------------------
+
+_PNC_CHARS = "،؟.、？¿!,?।"  # reference wer.py:61 pnc_chars
+_INVALID_CHARS = '/*":=_-{|}~¨«·»¡¿…‧‹›≪≫!:;ː→'  # reference wer.py:154
+_APOS_CHARS = "‘’ʻ"
+
+
+def _clean_table(retain_pncs: bool) -> dict[int, str | None]:
+    t: dict[int, str | None] = {}
+    for c in _INVALID_CHARS + ("" if retain_pncs else _PNC_CHARS):
+        t[ord(c)] = " "
+    for c in '`¨´“”"':
+        t[ord(c)] = None
+    if not retain_pncs:
+        t[ord("-")] = None
+    for c in _APOS_CHARS:
+        t[ord(c)] = "'"
+    return t
+
+
+_TABLE_PNC = _clean_table(True)
+_TABLE_NOPNC = _clean_table(False)
+
+
+def clean_text(text: str, retain_pncs: bool = False) -> str:
+    """Character-level cleanup matching the reference's ``clean_text``
+    (``metrics/wer.py:152-175``): invalid chars -> space, quote-likes
+    dropped, apostrophe variants unified, whitespace collapsed; the
+    no-punctuation variant also lowercases."""
+    if not retain_pncs:
+        text = text.lower()
+    text = text.translate(_TABLE_PNC if retain_pncs else _TABLE_NOPNC)
+    return " ".join(text.split())
+
+
+# --------------------------------------------------------------------------
+# WER / CER metrics
+# --------------------------------------------------------------------------
+
+
+def wer_stage(
+    ds,
+    hypothesis_field: str = "pred_text",
+    reference_field: str = "text",
+    duration_field: str | None = None,
+    edge_length: int = 12,
+    clean: bool = True,
+):
+    """Add flat metric columns: ``wer``, ``cer``, ``cer_dist`` (raw char
+    edit distance), ``start_cer`` / ``end_cer`` (first/last ``edge_length``
+    chars, reference ``metrics/wer.py:236-262``), ins/del/sub rates, and —
+    when ``duration_field`` is given — ``char_rate`` / ``word_rate``
+    (reference ``:180-189``). ``clean=False`` skips the character cleanup
+    (used by the SQL-oracle query, where the cleanup would have to be
+    re-expressed in SQL)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hyp = batch.column(hypothesis_field).to_pylist()
+        ref = batch.column(reference_field).to_pylist()
+        hyp = ["" if h is None else h for h in hyp]
+        ref = ["" if r is None else r for r in ref]
+        if clean:
+            hyp = [clean_text(h) for h in hyp]
+            ref = [clean_text(r) for r in ref]
+        w = error_rate_detail(hyp, ref, use_cer=False)
+        c = error_rate_detail(hyp, ref, use_cer=True)
+        e_start = error_rate_detail(
+            [h[:edge_length] for h in hyp], [r[:edge_length] for r in ref], use_cer=True
+        )
+        e_end = error_rate_detail(
+            [h[-edge_length:] for h in hyp], [r[-edge_length:] for r in ref], use_cer=True
+        )
+        cer_dist = char_distance_batch(hyp, ref)
+        out = batch
+        for name, arr in (
+            ("wer", w["rate"]),
+            ("wer_ins_rate", w["ins_rate"]),
+            ("wer_del_rate", w["del_rate"]),
+            ("wer_sub_rate", w["sub_rate"]),
+            ("cer", c["rate"]),
+            ("start_cer", e_start["rate"]),
+            ("end_cer", e_end["rate"]),
+        ):
+            out = out.append_column(name, pa.array(arr, pa.float64()))
+        out = out.append_column("cer_dist", pa.array(cer_dist, pa.int64()))
+        out = out.append_column("ref_tokens", pa.array(w["tokens"], pa.int64()))
+        if duration_field is not None:
+            dur = batch.column(duration_field).to_numpy(zero_copy_only=False)
+            n_chars = np.array([len(h.replace(" ", "")) for h in hyp], dtype=np.float64)
+            n_words = np.array([len(h.split()) for h in hyp], dtype=np.float64)
+            safe = np.where(dur > 0, dur, np.inf)
+            out = out.append_column(
+                "char_rate", pa.array(np.round(n_chars / safe, 2), pa.float64())
+            )
+            out = out.append_column(
+                "word_rate", pa.array(np.round(n_words / safe, 2), pa.float64())
+            )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pairwise_wer_stage(
+    ds,
+    text_field: str = "text",
+    pred_text_field: str = "pred_text",
+    wer_field: str = "wer_pct",
+):
+    """WER as a percentage between two text columns (reference
+    ``GetPairwiseWerStage``, ``metrics/wer.py:318-355`` — no cleaning)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hyp = ["" if h is None else h for h in batch.column(pred_text_field).to_pylist()]
+        ref = ["" if r is None else r for r in batch.column(text_field).to_pylist()]
+        w = error_rate_detail(hyp, ref, use_cer=False)
+        pct = np.round(w["rate"] * 100.0, 4)
+        return batch.append_column(wer_field, pa.array(pct, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# bandwidth estimation
+# --------------------------------------------------------------------------
+
+
+def _blackmanharris(n: int) -> np.ndarray:
+    # 4-term Blackman-Harris (the window the reference passes to librosa.stft)
+    a0, a1, a2, a3 = 0.35875, 0.48829, 0.14128, 0.01168
+    x = 2.0 * np.pi * np.arange(n) / (n - 1) if n > 1 else np.zeros(1)
+    return a0 - a1 * np.cos(x) + a2 * np.cos(2 * x) - a3 * np.cos(3 * x)
+
+
+def estimate_bandwidth(
+    audio: np.ndarray,
+    sample_rate: int,
+    n_fft: int = 512,
+    stride_seconds: float = 0.01,
+    top_db: float = 100.0,
+    frequency_threshold: float = -50.0,
+) -> int:
+    """Highest frequency whose mean power is within ``frequency_threshold``
+    dB of the spectral peak (reference ``metrics/bandwidth.py:78-97``):
+    windowed mean power spectrum -> dB (ref=n_fft, clipped to peak-top_db)
+    -> scan from Nyquist down."""
+    hop = max(1, int(sample_rate * stride_seconds))
+    if len(audio) < n_fft:
+        audio = np.pad(audio, (0, n_fft - len(audio)))
+    n_frames = 1 + (len(audio) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = audio[idx] * _blackmanharris(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    mean_power = power.mean(axis=0)
+    db = 10.0 * np.log10(np.maximum(mean_power, 1e-10) / n_fft)
+    db = np.maximum(db, db.max() - top_db)
+    peak = db.max()
+    freq_width = sample_rate / n_fft
+    above = np.nonzero(db - peak > frequency_threshold)[0]
+    return int(above[-1] * freq_width) if len(above) else 0
+
+
+class BandwidthEstimator:
+    """Actor-pool map_batches: decode WAV payload, estimate bandwidth."""
+
+    def __init__(self, audio_field: str = "audio", **kwargs):
+        self.audio_field = audio_field
+        self.kwargs = kwargs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.zeros(len(batch), dtype=np.int64)
+        for i, blob in enumerate(batch.column(self.audio_field)):
+            b = blob.as_py()
+            if not b:
+                continue
+            try:
+                audio, rate = decode_wav(b)
+            except ValueError:
+                continue
+            out[i] = estimate_bandwidth(audio, rate, **self.kwargs)
+        return batch.append_column("bandwidth", pa.array(out, pa.int64()))
+
+
+def bandwidth_stage(ds, audio_field: str = "audio", concurrency: tuple[int, int] = (1, 8), **kwargs):
+    return ds.map_batches(
+        BandwidthEstimator,
+        fn_constructor_kwargs={"audio_field": audio_field, **kwargs},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=256,
+    )
+
+
+# --------------------------------------------------------------------------
+# value filter
+# --------------------------------------------------------------------------
+
+_OPS = {
+    "lt": pc.less,
+    "le": pc.less_equal,
+    "eq": pc.equal,
+    "ne": pc.not_equal,
+    "ge": pc.greater_equal,
+    "gt": pc.greater,
+}
+
+
+def preserve_by_value_stage(ds, field: str, target, operator: str = "eq"):
+    """Keep rows where ``field <op> target`` (reference
+    ``PreserveByValueStage``, ``common.py:78-132``), as one vectorized
+    Arrow filter instead of a per-task Python comparison loop."""
+    if operator not in _OPS:
+        raise ValueError(f"operator must be one of {sorted(_OPS)}")
+    op = _OPS[operator]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(op(batch.column(field), pa.scalar(target)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# tone codec + ASR inference
+# --------------------------------------------------------------------------
+
+# 64-word vocabulary for the deterministic tone codec. Each word is emitted
+# as a fixed-length pure tone; word index i <-> frequency 400 + 50*i Hz
+# (all bins distinct and below Nyquist at 16 kHz for i < 64).
+TONE_VOCAB = [f"tok{i:02d}" for i in range(64)]
+_TONE_RATE = 16000
+_TONE_WORD_S = 0.08
+_TONE_GAP_S = 0.02
+
+
+def synth_speech(word_indices: np.ndarray, rate: int = _TONE_RATE) -> bytes:
+    """Encode a word-index sequence as WAV bytes: one tone per word with
+    silence gaps. The deterministic stand-in for real speech in tests and
+    synthetic corpora (no audio data ships with the sandbox)."""
+    wlen = int(rate * _TONE_WORD_S)
+    glen = int(rate * _TONE_GAP_S)
+    t = np.arange(wlen) / rate
+    chunks = []
+    for wi in word_indices:
+        f = 400.0 + 50.0 * int(wi)
+        tone = 0.6 * np.sin(2.0 * np.pi * f * t)
+        # short fade to kill clicks (5 ms)
+        ramp = min(int(0.005 * rate), wlen // 2)
+        env = np.ones(wlen)
+        env[:ramp] = np.linspace(0, 1, ramp)
+        env[-ramp:] = np.linspace(1, 0, ramp)
+        chunks.append(tone * env)
+        chunks.append(np.zeros(glen))
+    samples = np.concatenate(chunks) if chunks else np.zeros(0)
+    return encode_wav(samples, rate)
+
+
+class ToneAsrModel:
+    """Deterministic in-sandbox ASR model: energy-gap segmentation + FFT
+    argmax per segment -> vocabulary word. Real DSP on the tone codec above;
+    a drop-in NeMo model replaces it via ``asr_inference_stage(model_name=)``
+    without changing the stage contract (reference ``asr_nemo.py:95-106``
+    ``transcribe(files) -> list[str]``)."""
+
+    def transcribe_array(self, audio: np.ndarray, rate: int) -> str:
+        if len(audio) == 0:
+            return ""
+        wlen = int(rate * _TONE_WORD_S)
+        # frame-level energy gate at 10 ms resolution
+        hop = max(1, int(0.01 * rate))
+        n = len(audio) // hop
+        if n == 0:
+            return ""
+        frames = audio[: n * hop].reshape(n, hop)
+        active = (frames**2).mean(axis=1) > 1e-4
+        # segment = run of active frames
+        edges = np.diff(active.astype(np.int8), prepend=0, append=0)
+        starts = np.nonzero(edges == 1)[0] * hop
+        ends = np.nonzero(edges == -1)[0] * hop
+        words = []
+        for s, e in zip(starts, ends):
+            seg = audio[s : min(e, s + wlen)]
+            if len(seg) < 32:
+                continue
+            spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+            f = np.argmax(spec) * rate / len(seg)
+            idx = int(round((f - 400.0) / 50.0))
+            if 0 <= idx < len(TONE_VOCAB):
+                words.append(TONE_VOCAB[idx])
+        return " ".join(words)
+
+
+class AsrInference:
+    """Actor-pool map_batches class: model loaded once per worker in
+    ``__init__`` (reference ``asr_nemo.py:77-87`` setup), batch transcribe
+    in ``__call__``."""
+
+    def __init__(self, model_name: str | None = None, audio_field: str = "audio"):
+        self.audio_field = audio_field
+        if model_name:
+            try:
+                import nemo.collections.asr as nemo_asr  # noqa: F401
+            except ImportError as exc:  # pragma: no cover - sandbox path
+                raise ImportError(
+                    "NeMo ASR is not installed in this environment; "
+                    "omit model_name to use the deterministic ToneAsrModel, "
+                    "or install nemo_toolkit[asr] in deployment."
+                ) from exc
+            self.model = nemo_asr.models.ASRModel.from_pretrained(model_name=model_name)
+            self._real = True
+        else:
+            self.model = ToneAsrModel()
+            self._real = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = []
+        for blob in batch.column(self.audio_field):
+            b = blob.as_py()
+            if not b:
+                texts.append("")
+                continue
+            try:
+                audio, rate = decode_wav(b)
+            except ValueError:
+                texts.append("")
+                continue
+            if self._real:  # pragma: no cover - needs NeMo
+                texts.append(self.model.transcribe([audio])[0])
+            else:
+                texts.append(self.model.transcribe_array(audio, rate))
+        return batch.append_column("pred_text", pa.array(texts, pa.string()))
+
+
+def asr_inference_stage(
+    ds,
+    model_name: str | None = None,
+    audio_field: str = "audio",
+    concurrency: tuple[int, int] = (1, 8),
+    batch_size: int = 128,
+):
+    return ds.map_batches(
+        AsrInference,
+        fn_constructor_kwargs={"model_name": model_name, "audio_field": audio_field},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+# --------------------------------------------------------------------------
+# conversion + synthetic derivation
+# --------------------------------------------------------------------------
+
+_PAYLOAD_COLUMNS = ("audio", "waveform", "audio_data", "audio_array", "segments")
+
+
+def audio_to_documents(ds):
+    """Drop payload columns so downstream text stages see a document table
+    (reference ``AudioToDocumentStage``, ``io/convert.py:38-90`` — its
+    ``_NON_SERIALIZABLE_KEYS`` strip becomes a column projection)."""
+    keep = [c for c in ds.schema().names if c not in _PAYLOAD_COLUMNS]
+    return ds.select_columns(keep)
+
+
+def derive_audio_table(
+    ds,
+    text_field: str = "text",
+    id_field: str = "doc_id",
+    with_audio: bool = False,
+    ref_chars: int = 80,
+):
+    """Deterministically derive an audio-manifest table from a text corpus
+    for tests/benchmarks (the sandbox ships no audio; same pattern as
+    ``omni.derive_ocr_table``). Per document:
+
+    - ``text``     = first ``ref_chars`` chars of the whitespace-collapsed,
+      lowercased document text (the transcript);
+    - ``pred_text``= the transcript with every ``e`` removed (a fixed,
+      SQL-expressible "ASR corruption" so CER/WER are nonzero);
+    - ``audio``    = (``with_audio``) a PCM16 WAV whose frame count is the
+      SQL-expressible rule ``((len(text) % 50) + 10) * 16`` at 16 kHz —
+      tiny payloads whose *parsed* duration an oracle can recompute.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_field)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = texts.fill_null("") if texts.null_count else texts
+        collapsed = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(texts), r"\s+", " ")
+        )
+        ref = pc.utf8_slice_codeunits(collapsed, 0, ref_chars)
+        hyp = pc.replace_substring(ref, "e", "")
+        cols = {
+            "audio_id": batch.column(id_field).cast(pa.string()),
+            "text": ref.cast(pa.string()),
+            "pred_text": hyp.cast(pa.string()),
+        }
+        if with_audio:
+            lens = pc.utf8_length(ref).to_numpy(zero_copy_only=False)
+            blobs = []
+            for ln in lens:
+                frames = (int(ln) % 50 + 10) * 16
+                # deterministic low-cost ramp payload (content irrelevant to
+                # the duration rule; the header math is what's under test)
+                samples = ((np.arange(frames) % 256) - 128).astype(np.int16) * 64
+                blobs.append(encode_wav(samples, _TONE_RATE))
+            cols["audio"] = pa.array(blobs, pa.binary())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def derive_asr_corpus(
+    ds,
+    id_field: str = "doc_id",
+    words_per_utt: int = 8,
+    drop_every: int = 5,
+):
+    """Derive a tone-codec speech corpus: per document a seeded sequence of
+    ``words_per_utt`` vocabulary words becomes the reference transcript and
+    its synthesized waveform. Every ``drop_every``-th row's audio drops the
+    third word (a deterministic corruption), so downstream ASR -> WER shows
+    exactly ``1/words_per_utt`` error on those rows and 0 elsewhere."""
+    from .ids import hash_ids_from_strings
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_field).cast(pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        seeds = hash_ids_from_strings(ids).view(np.uint64)
+        texts, blobs, corrupted = [], [], []
+        for i, seed in enumerate(seeds):
+            rng = np.random.default_rng(int(seed))
+            widx = rng.integers(0, len(TONE_VOCAB), size=words_per_utt)
+            texts.append(" ".join(TONE_VOCAB[w] for w in widx))
+            drop = int(seed) % drop_every == 0
+            corrupted.append(drop)
+            emit = np.delete(widx, 2) if drop else widx
+            blobs.append(synth_speech(emit))
+        return pa.table(
+            {
+                "audio_id": ids,
+                "text": pa.array(texts, pa.string()),
+                "audio": pa.array(blobs, pa.binary()),
+                "corrupted": pa.array(corrupted, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,282 @@
+"""Audio family: WAV codec, edit-distance/WER, bandwidth, tone ASR, filters."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from curator_ray.functions.editdist import (
+    char_distance_batch,
+    edit_ops,
+    error_rate_detail,
+    levenshtein,
+)
+from curator_ray.functions.wav import decode_wav, encode_wav, wav_info
+from curator_ray.stages.audio import (
+    TONE_VOCAB,
+    ToneAsrModel,
+    clean_text,
+    estimate_bandwidth,
+    synth_speech,
+)
+
+
+# ---------------------------------------------------------------- WAV codec
+
+
+def test_wav_roundtrip_pcm16():
+    rate = 16000
+    x = (np.sin(2 * np.pi * 440 * np.arange(rate) / rate) * 0.5).astype(np.float64)
+    b = encode_wav(x, rate)
+    info = wav_info(b)
+    assert (info.sample_rate, info.frames, info.channels, info.bits) == (rate, rate, 1, 16)
+    assert info.duration == pytest.approx(1.0)
+    y, r = decode_wav(b)
+    assert r == rate
+    assert np.max(np.abs(y - x)) < 1.0 / 32000  # PCM16 quantization bound
+
+
+def test_wav_info_header_only_and_stdlib_parity():
+    import io
+    import wave
+
+    rate, n = 8000, 1234
+    samples = (np.arange(n) % 100).astype(np.int16)
+    b = encode_wav(samples, rate)
+    with wave.open(io.BytesIO(b)) as w:  # CPython's reader accepts our writer
+        assert w.getframerate() == rate and w.getnframes() == n
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+    assert wav_info(b).frames == n
+
+
+def test_wav_float32_and_stereo():
+    import struct
+
+    # hand-build a float32 stereo file: fmt tag 3, 2 channels
+    rate, n = 22050, 100
+    left = np.linspace(-1, 1, n, dtype=np.float32)
+    right = -left
+    inter = np.empty(2 * n, dtype=np.float32)
+    inter[0::2], inter[1::2] = left, right
+    data = inter.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 3, 2, rate, rate * 8, 8, 32,
+        b"data", len(data),
+    )
+    info = wav_info(hdr + data)
+    assert (info.fmt, info.channels, info.frames) == (3, 2, n)
+    mono, r = decode_wav(hdr + data)
+    assert r == rate and np.allclose(mono, 0.0, atol=1e-7)  # L+R cancel
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        wav_info(b"not a wav at all")
+
+
+# ---------------------------------------------------------- edit distance
+
+
+def test_levenshtein_matches_bruteforce():
+    import itertools
+
+    def brute(a, b):
+        d = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            d[i][0] = i
+        for j in range(len(b) + 1):
+            d[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(
+                    d[i - 1][j] + 1,
+                    d[i][j - 1] + 1,
+                    d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[len(a)][len(b)]
+
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        a = "".join(rng.choice(list("abcd"), size=rng.integers(0, 9)))
+        b = "".join(rng.choice(list("abcd"), size=rng.integers(0, 9)))
+        got = levenshtein(np.array(list(a), dtype=object), np.array(list(b), dtype=object))
+        assert got == brute(a, b), (a, b)
+    # duckdb parity on a few text pairs (the oracle the query rides on)
+    import duckdb
+
+    pairs = [("kitten", "sitting"), ("hello world", "hllo world"), ("", "abc")]
+    for h, r in pairs:
+        (want,) = duckdb.sql(f"select levenshtein('{h}', '{r}')").fetchone()
+        assert char_distance_batch([h], [r])[0] == want
+
+
+def test_edit_ops_decomposition():
+    dist, ins, dele, subs = edit_ops(list("sitting"), list("kitten"))
+    assert (dist, ins + dele + subs) == (3, 3)
+    assert subs == 2 and ins == 1  # classic kitten->sitting alignment
+    # pure insertion / deletion cases
+    assert edit_ops(list("abcd"), list("ad"))[1] == 2  # hyp has 2 extra
+    assert edit_ops(list("ad"), list("abcd"))[2] == 2  # ref has 2 missing
+
+
+def test_error_rate_detail_wer():
+    out = error_rate_detail(["the cat sat"], ["the black cat sat"], use_cer=False)
+    assert out["tokens"][0] == 4
+    assert out["rate"][0] == pytest.approx(0.25)  # one deletion / 4 ref words
+    assert out["del_rate"][0] == pytest.approx(0.25)
+    assert out["ins_rate"][0] == 0 and out["sub_rate"][0] == 0
+    # empty-reference convention
+    e = error_rate_detail(["x", ""], ["", ""], use_cer=False)
+    assert np.isinf(e["rate"][0]) and e["rate"][1] == 0.0
+
+
+def test_clean_text_matches_reference_rules():
+    assert clean_text("Hello—World: A_B/C") == "hello—world a b c"
+    assert clean_text('He said "YES"', retain_pncs=True) == "He said YES"
+    assert clean_text("don’t") == "don't"
+
+
+# ----------------------------------------------------------- bandwidth
+
+
+def test_bandwidth_sine_tones():
+    rate = 16000
+    t = np.arange(rate) / rate
+    for f0 in (1000.0, 3000.0, 6000.0):
+        x = 0.5 * np.sin(2 * np.pi * f0 * t)
+        bw = estimate_bandwidth(x, rate)
+        # peak bin must sit at f0 (+/- one 31.25 Hz bin); the -50 dB skirt of
+        # a windowed sine extends a few bins beyond it
+        assert f0 - 62.5 <= bw <= f0 + 500, (f0, bw)
+
+
+def test_bandwidth_fullband_noise():
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 0.3, size=16000)
+    bw = estimate_bandwidth(x, 16000)
+    assert bw > 7000  # white noise fills the spectrum to ~Nyquist
+
+
+# ----------------------------------------------------------- tone ASR
+
+
+def test_tone_codec_roundtrip():
+    words = np.array([0, 5, 63, 17], dtype=np.int64)
+    b = synth_speech(words)
+    audio, rate = decode_wav(b)
+    got = ToneAsrModel().transcribe_array(audio, rate)
+    assert got == " ".join(TONE_VOCAB[w] for w in words)
+
+
+# -------------------------------------------------------- Ray pipelines
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duration_wer_filter_pipeline():
+    import ray
+
+    from curator_ray.stages.audio import (
+        audio_duration_stage,
+        audio_to_documents,
+        preserve_by_value_stage,
+        wer_stage,
+    )
+    from curator_ray.functions.wav import encode_wav
+
+    rows = pa.table(
+        {
+            "audio_id": ["a", "b", "c"],
+            "audio": [
+                encode_wav(np.zeros(16000, dtype=np.int16), 16000),  # 1.0 s
+                encode_wav(np.zeros(4000, dtype=np.int16), 16000),  # 0.25 s
+                b"broken",
+            ],
+            "text": ["the cat sat", "hello world", "x"],
+            "pred_text": ["the cat sat", "hallo world", "x"],
+        }
+    )
+    ds = audio_duration_stage(ray.data.from_arrow(rows))
+    ds = wer_stage(ds, duration_field="duration", clean=False)
+    out = ds.to_pandas().set_index("audio_id")
+    assert out.loc["a", "duration"] == pytest.approx(1.0)
+    assert out.loc["b", "duration"] == pytest.approx(0.25)
+    assert out.loc["c", "duration"] == -1.0
+    assert out.loc["a", "wer"] == 0.0
+    assert out.loc["b", "wer"] == pytest.approx(0.5)  # 1 sub / 2 words
+    assert out.loc["b", "cer_dist"] == 1
+    assert out.loc["a", "char_rate"] == pytest.approx(9 / 1.0)
+    kept = preserve_by_value_stage(
+        audio_duration_stage(ray.data.from_arrow(rows)), "duration", 0.5, "ge"
+    )
+    assert sorted(r["audio_id"] for r in kept.take_all()) == ["a"]
+    docs = audio_to_documents(ds)
+    assert "audio" not in docs.schema().names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asr_to_wer_end_to_end():
+    import ray
+
+    from curator_ray.stages.audio import (
+        asr_inference_stage,
+        derive_asr_corpus,
+        pairwise_wer_stage,
+    )
+
+    docs = pa.table({"doc_id": [f"d{i}" for i in range(40)]})
+    corpus = derive_asr_corpus(ray.data.from_arrow(docs), words_per_utt=8, drop_every=5)
+    out = pairwise_wer_stage(asr_inference_stage(corpus)).to_pandas()
+    clean = out[~out.corrupted]
+    dirty = out[out.corrupted]
+    assert len(dirty) > 0 and len(clean) > 0
+    assert (clean.wer_pct == 0.0).all()  # tone decode is exact on clean audio
+    assert (dirty.wer_pct == 12.5).all()  # 1 dropped of 8 words, exactly
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bandwidth_stage_over_table():
+    import ray
+
+    from curator_ray.stages.audio import bandwidth_stage
+
+    rate = 16000
+    t = np.arange(rate // 2) / rate
+
+    def tone(f):
+        return encode_wav(0.5 * np.sin(2 * np.pi * f * t), rate)
+
+    rows = pa.table(
+        {"audio_id": ["lo", "hi"], "audio": [tone(1000.0), tone(5000.0)]}
+    )
+    out = (
+        bandwidth_stage(ray.data.from_arrow(rows), concurrency=(1, 2))
+        .to_pandas()
+        .set_index("audio_id")
+    )
+    assert out.loc["lo", "bandwidth"] < out.loc["hi", "bandwidth"]
+    assert 900 <= out.loc["lo", "bandwidth"] <= 1600
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_derive_audio_table_duration_rule():
+    import ray
+
+    from curator_ray.stages.audio import audio_duration_stage, derive_audio_table
+
+    docs = pa.table(
+        {
+            "doc_id": ["p", "q"],
+            "text": ["  Some   MIXED case TEXT here  ", "Z" * 500],
+        }
+    )
+    tbl = derive_audio_table(ray.data.from_arrow(docs), with_audio=True)
+    out = audio_duration_stage(tbl).to_pandas().set_index("audio_id")
+    ref_p = "some mixed case text here"
+    assert out.loc["p", "text"] == ref_p
+    assert out.loc["p", "pred_text"] == ref_p.replace("e", "")
+    want = ((len(ref_p) % 50) + 10) * 16 / 16000.0
+    assert out.loc["p", "duration"] == pytest.approx(want)
+    assert out.loc["q", "text"] == "z" * 80  # ref_chars cap
