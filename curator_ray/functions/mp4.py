@@ -1,0 +1,203 @@
+"""Minimal ISO BMFF (MP4) box parser + writer: container metadata only.
+
+The reference's video reader shells out to ffprobe for metadata
+(``reference/nemo_curator/stages/video/io/video_reader.py:73-228`` fills
+``num_frames / framerate / width / height / video_codec / duration``).
+ffmpeg/ffprobe/PyAV are absent in this sandbox, and the engine keeps video
+as opaque ``binary`` columns anyway, so this module implements the one
+thing metadata scans need — walking the ISO/IEC 14496-12 box tree — from
+the public specification:
+
+- ``mvhd``: movie timescale + duration -> duration seconds
+- ``tkhd``: track width / height (16.16 fixed point)
+- ``mdhd`` + ``stts``: media timescale + sample deltas -> frame count, fps
+- ``stsd``: first sample-entry fourcc -> codec name
+
+The writer emits a structurally valid, codec-payload-free MP4 (ftyp +
+empty mdat + moov) so tests and synthetic corpora can round-trip metadata
+through real container bytes. Sample *decode* requires a codec and stays
+gated at the stage layer.
+
+Parsing touches only box headers + the few fixed-size leaf boxes:
+O(#boxes) per file, no frame data read — safe for metadata scans over
+10^12 rows.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, NamedTuple
+
+
+class Mp4Info(NamedTuple):
+    duration: float  # seconds (mvhd)
+    timescale: int
+    width: int
+    height: int
+    num_frames: int
+    framerate: float
+    video_codec: str | None
+
+
+def _boxes(b: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (fourcc, payload_start, payload_end) for boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        fourcc = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr:
+            return
+        yield fourcc, pos + hdr, min(pos + size, end)
+        pos += size
+
+
+def _find(b: bytes, start: int, end: int, path: list[bytes]) -> tuple[int, int] | None:
+    if not path:
+        return start, end
+    for cc, s, e in _boxes(b, start, end):
+        if cc == path[0]:
+            got = _find(b, s, e, path[1:])
+            if got is not None:
+                return got
+    return None
+
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk(b: bytes, start: int, end: int, out: dict) -> None:
+    for cc, s, e in _boxes(b, start, end):
+        if cc in _CONTAINERS:
+            if cc == b"trak":
+                out.setdefault("traks", []).append({})
+                out["_cur"] = out["traks"][-1]
+            _walk(b, s, e, out)
+        elif cc == b"mvhd":
+            ver = b[s]
+            if ver == 1:
+                ts, dur = struct.unpack_from(">IQ", b, s + 4 + 16)
+            else:
+                ts, dur = struct.unpack_from(">II", b, s + 4 + 8)
+            out["timescale"], out["duration_units"] = ts, dur
+        elif cc == b"tkhd":
+            ver = b[s]
+            off = s + 4 + (32 if ver == 1 else 20) + 52
+            w, h = struct.unpack_from(">II", b, off)
+            cur = out.get("_cur", out)
+            cur["width"], cur["height"] = w >> 16, h >> 16
+        elif cc == b"mdhd":
+            ver = b[s]
+            if ver == 1:
+                mts, mdur = struct.unpack_from(">IQ", b, s + 4 + 16)
+            else:
+                mts, mdur = struct.unpack_from(">II", b, s + 4 + 8)
+            cur = out.get("_cur", out)
+            cur["media_timescale"], cur["media_duration"] = mts, mdur
+        elif cc == b"stts":
+            (n,) = struct.unpack_from(">I", b, s + 4)
+            counts = 0
+            for i in range(n):
+                cnt, _delta = struct.unpack_from(">II", b, s + 8 + 8 * i)
+                counts += cnt
+            cur = out.get("_cur", out)
+            cur["num_frames"] = counts
+        elif cc == b"stsd":
+            (n,) = struct.unpack_from(">I", b, s + 4)
+            if n >= 1 and s + 16 <= e:
+                cur = out.get("_cur", out)
+                cur["codec"] = b[s + 12 : s + 16].decode("ascii", "replace")
+
+
+def mp4_info(b: bytes) -> Mp4Info:
+    """Parse metadata from MP4 bytes (raises ValueError on non-BMFF data)."""
+    top = list(_boxes(b, 0, len(b)))
+    if not any(cc == b"moov" for cc, _, _ in top) and not any(
+        cc == b"ftyp" for cc, _, _ in top
+    ):
+        raise ValueError("not an ISO BMFF stream")
+    out: dict = {}
+    _walk(b, 0, len(b), out)
+    ts = out.get("timescale", 0)
+    dur = out.get("duration_units", 0) / ts if ts else 0.0
+    # pick the first track carrying video-shaped metadata
+    video_trak = None
+    for trak in out.get("traks", []):
+        if trak.get("width") or trak.get("num_frames"):
+            video_trak = trak
+            break
+    video_trak = video_trak or {}
+    n = video_trak.get("num_frames", 0)
+    mts = video_trak.get("media_timescale", 0)
+    mdur = video_trak.get("media_duration", 0)
+    fps = n * mts / mdur if (mts and mdur) else (n / dur if dur else 0.0)
+    return Mp4Info(
+        duration=dur,
+        timescale=ts,
+        width=video_trak.get("width", 0),
+        height=video_trak.get("height", 0),
+        num_frames=n,
+        framerate=fps,
+        video_codec=video_trak.get("codec"),
+    )
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), fourcc) + payload
+
+
+def write_minimal_mp4(
+    num_frames: int,
+    framerate: float,
+    width: int,
+    height: int,
+    codec: bytes = b"avc1",
+    timescale: int = 600,
+) -> bytes:
+    """Structurally valid MP4 with correct metadata and no codec payload.
+
+    The media timescale is set so each frame's stts delta is an integer
+    (``media_timescale = framerate * 1000``), keeping parsed fps exact for
+    any rational framerate with millihertz precision.
+    """
+    media_ts = int(round(framerate * 1000))
+    delta = 1000  # units per frame at media_ts
+    media_dur = num_frames * delta
+    dur_units = int(round(num_frames / framerate * timescale)) if framerate else 0
+
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur_units)
+        + struct.pack(">IH2x8x36xI24x", 0x00010000, 0x0100, 2)  # rate/volume/matrix pad/next_track
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3xIIII4x", 7, 0, 0, 1, dur_units)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, media_ts, media_dur, 0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">B3xI4s12x", 0, 0, b"vide") + b"video\x00")
+    stsd = _box(
+        b"stsd",
+        struct.pack(">B3xI", 0, 1)
+        + _box(codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16 + struct.pack(">HH", width, height) + b"\x00" * 50),
+    )
+    stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, num_frames, delta))
+    stbl = _box(b"stbl", stsd + stts + _box(b"stsc", struct.pack(">B3xI", 0, 0)) + _box(b"stsz", struct.pack(">B3xII", 0, 0, 0)) + _box(b"stco", struct.pack(">B3xI", 0, 0)))
+    minf = _box(b"minf", _box(b"vmhd", struct.pack(">B3xHHHH", 0, 1, 0, 0, 0)) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"")
+    return ftyp + mdat + moov

@@ -1,0 +1,407 @@
+"""Video curation stages: metadata, fixed-stride clipping, motion filter.
+
+Ray-Data-native re-expression of the CPU-computable core of the reference
+video stack (``reference/nemo_curator/stages/video/``):
+
+- ``VideoReaderStage`` metadata extraction (``io/video_reader.py:31-228``,
+  ffprobe) -> :func:`video_metadata_stage` parses the ISO BMFF box tree
+  from the ``binary`` video column (``functions/mp4.py``, header-only);
+- ``FixedStrideExtractorStage`` (``clipping/clip_extraction_stages.py:350-420``)
+  -> :func:`fixed_stride_clip_stage`: explode each video row into clip rows
+  with the reference's bound semantics (start < duration; keep clips with
+  ``end - start >= min_clip_length_s``; optional per-video limit) and its
+  deterministic clip identity (``{video}_{start_frame}_{end_frame}``,
+  uuid5-equivalent content-derived id);
+- ``MotionVectorDecodeStage`` + ``MotionFilterStage``
+  (``filtering/motion_filter.py:27-170``, ``motion_vector_backend.py``):
+  decoding motion vectors out of H.264/HEVC needs PyAV (absent) and is
+  gated; the *scoring* math — flow-field painting from per-block motion
+  vectors, magnitude normalization by (h + w), ``global_mean`` and
+  ``per_patch_min_256`` small-motion test — is implemented for real in
+  numpy over a nested Arrow motion-vector column
+  (:func:`motion_score_stage`, :func:`motion_filter_stage`);
+- ``ClipFrameExtractionStage`` (``clipping/clip_frame_extraction.py``):
+  the frame-index policy (uniform sampling at target fps) is real
+  (:func:`clip_frame_indices_stage`); pixel decode needs a codec and is
+  gated like the reference's DALI path;
+- ``ClipWriterStage`` (``io/clip_writer.py``) -> clips are rows; the
+  engine's parquet/webdataset writers persist them (no special stage);
+- ``ClipTranscodingStage`` / TransNetV2 / caption+embedding stages are
+  ffmpeg- or model-bound and stay gated (same policy as vLLM/Lance).
+
+Data model: one video row = ``(video_id, video:binary, ...)``; clips are
+exploded rows ``(clip_id, video_id, span_start, span_end, ...)`` — the
+columnar analogue of the reference's ``Video.clips`` list. Motion vectors
+ride as ``mv_frames: large_list<large_list<float64>>`` (frames x flattened
+(n_vectors, 10) rows, the 10 post-``source`` AVMotionVector fields).
+
+Scale: metadata parse touches box headers only; clipping is arithmetic;
+motion scoring is O(painted pixels) per frame in numpy — all inside
+``map_batches`` with zero wide operations.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.mp4 import mp4_info, write_minimal_mp4
+
+_MIN_SIDE_RESOLUTION = 256  # motion_vector_backend.py:28
+
+# ---------------------------------------------------------------- metadata
+
+
+def video_metadata_stage(ds, video_field: str = "video"):
+    """Append ``duration, framerate, num_frames, width, height, video_codec``
+    parsed from MP4 container bytes; unparseable rows get nulls + an
+    ``errors`` marker like the reference's metadata gate
+    (``video_reader.py:179-186``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        dur = np.full(n, np.nan)
+        fps = np.full(n, np.nan)
+        frames = np.zeros(n, np.int64)
+        w = np.zeros(n, np.int32)
+        h = np.zeros(n, np.int32)
+        codec: list[str | None] = [None] * n
+        err: list[str | None] = [None] * n
+        for i, blob in enumerate(batch.column(video_field)):
+            b = blob.as_py()
+            if not b:
+                err[i] = "empty"
+                continue
+            try:
+                info = mp4_info(b)
+            except Exception:
+                err[i] = "metadata"
+                continue
+            dur[i], fps[i], frames[i] = info.duration, info.framerate, info.num_frames
+            w[i], h[i], codec[i] = info.width, info.height, info.video_codec
+        return (
+            batch.append_column("duration", pa.array(dur, pa.float64()))
+            .append_column("framerate", pa.array(fps, pa.float64()))
+            .append_column("num_frames", pa.array(frames, pa.int64()))
+            .append_column("width", pa.array(w, pa.int32()))
+            .append_column("height", pa.array(h, pa.int32()))
+            .append_column("video_codec", pa.array(codec, pa.string()))
+            .append_column("errors", pa.array(err, pa.string()))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- clipping
+
+
+def fixed_stride_clip_stage(
+    ds,
+    clip_len_s: float,
+    clip_stride_s: float,
+    min_clip_length_s: float = 0.0,
+    limit_clips: int = 0,
+    id_field: str = "video_id",
+):
+    """Explode videos into fixed-stride clip rows (reference
+    ``FixedStrideExtractorStage.process``, ``clip_extraction_stages.py:
+    390-420``): bounds ``[i*stride, min(i*stride + len, duration))`` for
+    every start strictly inside the video, keeping clips at least
+    ``min_clip_length_s`` long; ``limit_clips`` caps clips per video.
+    ``clip_id`` is the reference's deterministic identity string
+    ``{video}_{start_frame}_{end_frame}`` (frame indices at the parsed
+    framerate); ``clip_uuid`` is its uuid5 like the reference's
+    ``uuid.uuid5(NAMESPACE_URL, ...)``.
+
+    Start positions are ``i * stride`` (closed form) rather than the
+    reference's repeated ``+=`` float accumulation — identical except for
+    sub-ulp drift after tens of thousands of strides, and exactly
+    reproducible by a SQL ``range()`` oracle.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vids = batch.column(id_field).cast(pa.string()).to_pylist()
+        durs = batch.column("duration").to_numpy(zero_copy_only=False)
+        fpss = batch.column("framerate").to_numpy(zero_copy_only=False)
+        out_vid, out_cid, out_uuid = [], [], []
+        out_s, out_e, out_sf, out_ef = [], [], [], []
+        for vid, dur, fps in zip(vids, durs, fpss):
+            if not np.isfinite(dur) or dur <= 0 or not np.isfinite(fps):
+                continue  # reference skips rows with incomplete metadata
+            n_starts = int(np.ceil(dur / clip_stride_s))
+            count = 0
+            for i in range(n_starts):
+                start = i * clip_stride_s
+                if start >= dur:
+                    break
+                end = min(start + clip_len_s, dur)
+                if end - start < min_clip_length_s:
+                    continue
+                if limit_clips > 0 and count >= limit_clips:
+                    break
+                sf, ef = int(start * fps), int(end * fps)
+                key = f"{vid}_{sf}_{ef}"
+                out_vid.append(vid)
+                out_cid.append(key)
+                out_uuid.append(str(uuid.uuid5(uuid.NAMESPACE_URL, key)))
+                out_s.append(start)
+                out_e.append(end)
+                out_sf.append(sf)
+                out_ef.append(ef)
+                count += 1
+        return pa.table(
+            {
+                "clip_id": pa.array(out_cid, pa.string()),
+                "clip_uuid": pa.array(out_uuid, pa.string()),
+                "video_id": pa.array(out_vid, pa.string()),
+                "span_start": pa.array(out_s, pa.float64()),
+                "span_end": pa.array(out_e, pa.float64()),
+                "start_frame": pa.array(out_sf, pa.int64()),
+                "end_frame": pa.array(out_ef, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def clip_frame_indices_stage(ds, target_fps: float = 2.0):
+    """Frame indices each clip would sample at ``target_fps`` (reference
+    ``ClipFrameExtractionStage`` policy; the pixel decode itself is
+    codec-bound and gated — see module docstring)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column("span_start").to_numpy(zero_copy_only=False)
+        e = batch.column("span_end").to_numpy(zero_copy_only=False)
+        fps = batch.column("framerate").to_numpy(zero_copy_only=False) if "framerate" in batch.schema.names else np.full(len(batch), 30.0)
+        idx_lists = []
+        for a, b, f in zip(s, e, fps):
+            times = np.arange(a, b, 1.0 / target_fps)
+            idx_lists.append((times * f).astype(np.int64))
+        flat = np.concatenate(idx_lists) if idx_lists else np.zeros(0, np.int64)
+        offsets = np.zeros(len(idx_lists) + 1, dtype=np.int32)
+        np.cumsum([len(x) for x in idx_lists], out=offsets[1:])
+        col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(flat, pa.int64()))
+        return batch.append_column("frame_indices", col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- motion
+
+_BLOCK_OPTIONS = ((8, 8), (16, 16), (16, 8), (8, 16))  # motion_vector_backend.py:110
+
+
+def paint_flowfield(mv: np.ndarray, h: int, w: int, flow: np.ndarray) -> None:
+    """Paint per-block motion deltas into a (h, w, 2) flow image
+    (numpy re-expression of ``motion_vectors_to_flowfield``,
+    ``motion_vector_backend.py:81-163``): for each vector, the block rect
+    centered at its destination is *assigned* ``-motion / motion_scale``
+    (last write wins, block-size groups painted in the reference's order);
+    out-of-range coordinates clamp to the frame like the reference's
+    bounds handling."""
+    if mv.size == 0:
+        return
+    bw, bh = mv[:, 0], mv[:, 1]
+    dst = mv[:, 4:6]
+    scale = np.where(mv[:, 9] == 0, 1.0, mv[:, 9])
+    delta = -mv[:, 7:9] / scale[:, None]
+    for opt_w, opt_h in _BLOCK_OPTIONS:
+        sel = (bw == opt_w) & (bh == opt_h)
+        if not sel.any():
+            continue
+        ox = np.arange(-opt_w // 2, opt_w // 2)
+        oy = np.arange(-opt_h // 2, opt_h // 2)
+        gx, gy = np.meshgrid(ox, oy, indexing="xy")
+        xs = dst[sel, 0].astype(np.int64)[:, None] + gx.ravel()[None, :]
+        ys = dst[sel, 1].astype(np.int64)[:, None] + gy.ravel()[None, :]
+        np.clip(xs, 0, w - 1, out=xs)
+        np.clip(ys, 0, h - 1, out=ys)
+        d = np.repeat(delta[sel], gx.size, axis=0)
+        flow[ys.ravel(), xs.ravel()] = d
+
+
+def motion_scores(
+    mv_frames: list[np.ndarray], h: int, w: int
+) -> tuple[float, float]:
+    """(global_mean, per_patch_min_256) over a clip's motion-vector frames
+    (reference ``check_if_small_motion``, ``motion_vector_backend.py:
+    248-306``): flow magnitude normalized by (h + w), averaged over all
+    pixels x frames; the per-patch value is the minimum of the per-pixel
+    time-average downsampled by 256x (block mean here vs the reference's
+    bilinear ``cv2.resize`` — same detector semantics: both collapse a
+    256x256 region to one value; documented deviation)."""
+    if h < _MIN_SIDE_RESOLUTION or w < _MIN_SIDE_RESOLUTION:
+        raise ValueError(f"min resolution {_MIN_SIDE_RESOLUTION}, got {(h, w)}")
+    per_pixel_sum = np.zeros((h, w))
+    global_sum = 0.0
+    flow = np.zeros((h, w, 2))
+    for mv in mv_frames:
+        flow[:] = 0.0
+        paint_flowfield(mv, h, w, flow)
+        mag = np.hypot(flow[..., 0], flow[..., 1]) / (h + w)
+        global_sum += float(mag.sum())
+        per_pixel_sum += mag
+    n = max(len(mv_frames), 1)
+    global_mean = global_sum / (n * h * w)
+    per_pixel_avg = per_pixel_sum / n
+    th, tw = max(h // 256, 1), max(w // 256, 1)
+    patch = per_pixel_avg[: th * 256, : tw * 256].reshape(th, 256, tw, 256).mean(axis=(1, 3))
+    return global_mean, float(patch.min())
+
+
+class MotionScoreStage:
+    """Actor-pool map_batches: nested mv column -> motion score columns."""
+
+    def __init__(self, mv_field: str = "mv_frames", height_field: str = "height", width_field: str = "width"):
+        self.mv_field = mv_field
+        self.height_field = height_field
+        self.width_field = width_field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        gm = np.zeros(len(batch))
+        pm = np.zeros(len(batch))
+        hs = batch.column(self.height_field).to_numpy(zero_copy_only=False)
+        ws = batch.column(self.width_field).to_numpy(zero_copy_only=False)
+        for i, frames in enumerate(batch.column(self.mv_field)):
+            mv_frames = [
+                np.asarray(f, dtype=np.float64).reshape(-1, 10) for f in frames.as_py()
+            ]
+            gm[i], pm[i] = motion_scores(mv_frames, int(hs[i]), int(ws[i]))
+        return batch.append_column(
+            "motion_score_global_mean", pa.array(gm, pa.float64())
+        ).append_column("motion_score_per_patch_min_256", pa.array(pm, pa.float64()))
+
+
+def motion_score_stage(ds, concurrency: tuple[int, int] = (1, 8), **kwargs):
+    return ds.map_batches(
+        MotionScoreStage,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=64,
+    )
+
+
+def motion_filter_stage(
+    ds,
+    global_mean_threshold: float = 0.00098,
+    per_patch_min_256_threshold: float = 0.000001,
+):
+    """Drop small-motion clips (reference ``MotionFilterStage`` defaults,
+    ``motion_filter.py:99-131``: small iff global mean OR per-patch min
+    falls below its threshold)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        small = pc.or_(
+            pc.less(batch.column("motion_score_global_mean"), pa.scalar(global_mean_threshold)),
+            pc.less(
+                batch.column("motion_score_per_patch_min_256"),
+                pa.scalar(per_patch_min_256_threshold),
+            ),
+        )
+        return batch.filter(pc.invert(small))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decode_motion_vectors(video_bytes: bytes, **kwargs):
+    """Real MV decode requires PyAV's EXPORT_MVS path
+    (``motion_vector_backend.py:165-245``); gated here like Lance/vLLM."""
+    try:
+        import av  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "PyAV is not installed in this environment; motion vectors must "
+            "arrive as an 'mv_frames' column (see derive_motion_corpus), or "
+            "install av in deployment for in-engine decode."
+        ) from exc
+    raise NotImplementedError("PyAV present but in-engine MV decode is deployment-only")
+
+
+# ---------------------------------------------------------------- synthetic
+
+
+def derive_video_table(
+    ds,
+    text_field: str = "text",
+    id_field: str = "doc_id",
+    framerate: float = 30.0,
+):
+    """Deterministic video-manifest table from a text corpus: per document
+    a real (codec-payload-free) MP4 whose frame count follows the
+    SQL-expressible rule ``(len(collapsed_text) % 240) + 30`` at 30 fps —
+    metadata parsing and clipping run on genuine container bytes while an
+    oracle recomputes every downstream value from the text length."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_field)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = texts.fill_null("") if texts.null_count else texts
+        collapsed = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(texts, r"\s+", " ")
+        )
+        lens = pc.utf8_length(collapsed).to_numpy(zero_copy_only=False)
+        blobs = [
+            write_minimal_mp4(int(ln) % 240 + 30, framerate, 640, 360) for ln in lens
+        ]
+        return pa.table(
+            {
+                "video_id": batch.column(id_field).cast(pa.string()),
+                "video": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def derive_motion_corpus(ds, id_field: str = "doc_id", h: int = 256, w: int = 256):
+    """Synthesize per-clip motion-vector frames: rows alternate between
+    uniform translation (16x16 blocks covering the frame, |motion| seeded
+    per row) and near-zero motion, so the motion filter separates them
+    deterministically. Analytic expectation: full-coverage uniform motion
+    gives ``global_mean = |delta| / (h + w)`` exactly."""
+    from .ids import hash_ids_from_strings
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_field).cast(pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        seeds = hash_ids_from_strings(ids).view(np.uint64)
+        gx, gy = np.meshgrid(
+            np.arange(8, w, 16, dtype=np.float64), np.arange(8, h, 16, dtype=np.float64)
+        )
+        centers = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        nb = len(centers)
+        frames_col, static_col = [], []
+        for seed in seeds:
+            rng = np.random.default_rng(int(seed))
+            static = bool(int(seed) % 2)
+            mx, my = (0.0, 0.0) if static else (float(rng.integers(1, 8)), float(rng.integers(1, 8)))
+            mv = np.zeros((nb, 10))
+            mv[:, 0] = 16  # block w
+            mv[:, 1] = 16  # block h
+            mv[:, 4:6] = centers
+            mv[:, 7] = -mx  # motion_x (delta = -motion/scale)
+            mv[:, 8] = -my
+            mv[:, 9] = 1.0  # motion_scale
+            frames = [mv.ravel(), mv.ravel()]  # two identical frames
+            frames_col.append(frames)
+            static_col.append(static)
+        return pa.table(
+            {
+                "clip_id": ids,
+                "height": pa.array([h] * len(batch), pa.int32()),
+                "width": pa.array([w] * len(batch), pa.int32()),
+                "mv_frames": pa.array(
+                    frames_col, pa.large_list(pa.large_list(pa.float64()))
+                ),
+                "static": pa.array(static_col, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

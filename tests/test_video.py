@@ -1,0 +1,162 @@
+"""Video family: MP4 metadata, fixed-stride clipping, motion scoring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from curator_ray.functions.mp4 import mp4_info, write_minimal_mp4
+from curator_ray.stages.video import motion_scores, paint_flowfield
+
+
+# ------------------------------------------------------------- MP4 codec
+
+
+def test_mp4_metadata_roundtrip():
+    b = write_minimal_mp4(300, 30.0, 1280, 720)
+    info = mp4_info(b)
+    assert info.num_frames == 300
+    assert info.framerate == pytest.approx(30.0)
+    assert (info.width, info.height) == (1280, 720)
+    assert info.duration == pytest.approx(10.0)
+    assert info.video_codec == "avc1"
+
+
+def test_mp4_fractional_framerate_and_codec():
+    info = mp4_info(write_minimal_mp4(725, 23.976, 640, 480, codec=b"hev1"))
+    assert info.framerate == pytest.approx(23.976)
+    assert info.num_frames == 725
+    assert info.video_codec == "hev1"
+
+
+def test_mp4_rejects_garbage():
+    with pytest.raises(ValueError):
+        mp4_info(b"RIFFxxxxWAVE")  # valid header of the *wrong* container
+    with pytest.raises(ValueError):
+        mp4_info(b"\x00" * 64)
+
+
+# ---------------------------------------------------------- motion math
+
+
+def test_flowfield_uniform_translation_analytic():
+    h = w = 256
+    gx, gy = np.meshgrid(np.arange(8, w, 16), np.arange(8, h, 16))
+    centers = np.stack([gx.ravel(), gy.ravel()], axis=1).astype(np.float64)
+    mv = np.zeros((len(centers), 10))
+    mv[:, 0] = mv[:, 1] = 16
+    mv[:, 4:6] = centers
+    mv[:, 7], mv[:, 8] = -3.0, -4.0  # delta = -motion/scale = (3, 4)
+    mv[:, 9] = 1.0
+    flow = np.zeros((h, w, 2))
+    paint_flowfield(mv, h, w, flow)
+    # full 16x16 coverage: every pixel painted with (3, 4)
+    assert np.all(flow[..., 0] == 3.0) and np.all(flow[..., 1] == 4.0)
+    gm, pm = motion_scores([mv], h, w)
+    assert gm == pytest.approx(5.0 / (h + w))  # |(3,4)| / (h+w)
+    assert pm == pytest.approx(5.0 / (h + w))
+
+
+def test_motion_scores_zero_and_min_resolution():
+    h = w = 256
+    gm, pm = motion_scores([np.zeros((0, 10))], h, w)
+    assert gm == 0.0 and pm == 0.0
+    with pytest.raises(ValueError):
+        motion_scores([], 100, 256)
+
+
+def test_flowfield_clamps_out_of_range():
+    h = w = 256
+    mv = np.zeros((1, 10))
+    mv[0, 0] = mv[0, 1] = 16
+    mv[0, 4:6] = (2.0, 2.0)  # rect extends past the top-left corner
+    mv[0, 7:9] = -1.0
+    mv[0, 9] = 1.0
+    flow = np.zeros((h, w, 2))
+    paint_flowfield(mv, h, w, flow)  # must not raise / wrap around
+    assert flow[0, 0, 0] == 1.0 and flow[255, 255, 0] == 0.0
+
+
+# ----------------------------------------------------------- Ray stages
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_metadata_and_clipping_pipeline():
+    import ray
+
+    from curator_ray.stages.video import (
+        clip_frame_indices_stage,
+        fixed_stride_clip_stage,
+        video_metadata_stage,
+    )
+
+    rows = pa.table(
+        {
+            "video_id": ["v1", "v2", "bad"],
+            "video": [
+                write_minimal_mp4(300, 30.0, 640, 360),  # 10 s
+                write_minimal_mp4(90, 30.0, 640, 360),  # 3 s
+                b"not an mp4",
+            ],
+        }
+    )
+    meta = video_metadata_stage(ray.data.from_arrow(rows))
+    md = meta.to_pandas().set_index("video_id")
+    assert md.loc["v1", "duration"] == pytest.approx(10.0)
+    assert md.loc["v1", "num_frames"] == 300
+    assert md.loc["bad", "errors"] == "metadata"
+
+    clips = fixed_stride_clip_stage(
+        meta, clip_len_s=4.0, clip_stride_s=3.0, min_clip_length_s=2.0
+    )
+    cf = clip_frame_indices_stage(clips, target_fps=2.0).to_pandas()
+    v1 = cf[cf.video_id == "v1"].sort_values("span_start")
+    # starts 0,3,6,9 -> spans (0,4),(3,7),(6,10),(9,10 dropped: 1s < min 2s)
+    assert list(v1.span_start) == [0.0, 3.0, 6.0]
+    assert list(v1.span_end) == [4.0, 7.0, 10.0]
+    assert list(v1.clip_id)[0] == "v1_0_120"
+    # 2 fps over a 4 s clip -> 8 sampled frames
+    assert len(v1.iloc[0].frame_indices) == 8
+    v2 = cf[cf.video_id == "v2"]
+    assert list(v2.span_start) == [0.0]  # start 3.0 >= duration, dropped
+    assert "bad" not in set(cf.video_id)  # metadata gate skips it
+
+    # limit_clips caps per video like the reference
+    lim = fixed_stride_clip_stage(
+        meta, clip_len_s=4.0, clip_stride_s=3.0, min_clip_length_s=2.0, limit_clips=2
+    ).to_pandas()
+    assert (lim.groupby("video_id").size() <= 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_motion_filter_pipeline():
+    import ray
+
+    from curator_ray.stages.video import (
+        derive_motion_corpus,
+        motion_filter_stage,
+        motion_score_stage,
+    )
+
+    docs = pa.table({"doc_id": [f"c{i}" for i in range(16)]})
+    corpus = derive_motion_corpus(ray.data.from_arrow(docs))
+    scored = motion_score_stage(corpus, concurrency=(1, 2)).to_pandas()
+    moving = scored[~scored.static]
+    static = scored[scored.static]
+    assert len(moving) > 0 and len(static) > 0
+    assert (static.motion_score_global_mean == 0.0).all()
+    # uniform translation with full block coverage: gm = |delta| / (h + w)
+    for _, r in moving.iterrows():
+        assert r.motion_score_global_mean > 0.00098  # above the filter default
+    kept = motion_filter_stage(
+        motion_score_stage(derive_motion_corpus(ray.data.from_arrow(docs)), concurrency=(1, 2))
+    ).to_pandas()
+    assert set(kept.clip_id) == set(moving.clip_id)
+
+
+def test_decode_motion_vectors_gated():
+    from curator_ray.stages.video import decode_motion_vectors
+
+    with pytest.raises((ImportError, NotImplementedError)):
+        decode_motion_vectors(b"")
