@@ -137,33 +137,50 @@ def q_word_filter(sf_dir: str):
 
 
 
-def q_docs_by_source(sf_dir: str):
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "source": b.column("source"),
-                "n_docs": b.column("count()"),
-                "sum_chars": b.column("sum(n_chars)"),
-            }
+def q_group_counts(sf_dir: str):
+    """Count/sum aggregates over three groupings (documents by source, by
+    lang, events by type) tagged in one table — consolidated from three
+    single-aggregate queries to stay inside the driver's 50-entry registry
+    cap while the audio/video/interleaved families each get a row."""
+    import ray
+
+    def agg_docs(key: str, with_sum: bool):
+        gb = _read(sf_dir, "documents").groupby(key)
+        if with_sum:
+            out = gb.aggregate(ray.data.aggregate.Count(), ray.data.aggregate.Sum("n_chars"))
+        else:
+            out = gb.count()
+        rows = out.take_all()
+        return [
+            (key, str(r[key]), int(r["count()"]), int(r.get("sum(n_chars)", 0)))
+            for r in rows
+        ]
+
+    def agg_events():
+        def pre(b: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
+            return pa.table({"event_type": b.column("event_type"), "cents": cents})
+
+        out = (
+            _read(sf_dir, "events")
+            .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(ray.data.aggregate.Count(), ray.data.aggregate.Sum("cents"))
         )
+        return [
+            ("event_type", str(r["event_type"]), int(r["count()"]), int(r["sum(cents)"]))
+            for r in out.take_all()
+        ]
 
-    return (
-        _read(sf_dir, "documents")
-        .groupby("source")
-        .aggregate(__import__("ray").data.aggregate.Count(), __import__("ray").data.aggregate.Sum("n_chars"))
-        .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
-    )
-
-
-def q_docs_by_lang(sf_dir: str):
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"lang": b.column("lang"), "n_docs": b.column("count()")})
-
-    return (
-        _read(sf_dir, "documents")
-        .groupby("lang")
-        .count()
-        .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    rows = agg_docs("source", True) + agg_docs("lang", False) + agg_events()
+    rows.sort()
+    return pa.table(
+        {
+            "grouping": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_val": pa.array([r[3] for r in rows], pa.int64()),
+        }
     )
 
 
@@ -178,29 +195,6 @@ def q_top10_longest(sf_dir: str):
         ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["n_chars", "doc_id"], descending=[True, False])
         .limit(10)
-    )
-
-
-def q_events_by_type(sf_dir: str):
-    def pre(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())
-        return pa.table({"event_type": b.column("event_type"), "cents": cents})
-
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": b.column("event_type"),
-                "n_events": b.column("count()"),
-                "sum_cents": b.column("sum(cents)"),
-            }
-        )
-
-    return (
-        _read(sf_dir, "events")
-        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .aggregate(__import__("ray").data.aggregate.Count(), __import__("ray").data.aggregate.Sum("cents"))
-        .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -488,6 +482,30 @@ def q_video_motion(sf_dir: str):
         )
 
     return scored.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True).sort("clip_id")
+
+
+def q_interleaved_aspect(sf_dir: str):
+    """Interleaved family end-to-end, oracle-checked: derive multimodal
+    samples (metadata/text/image rows with real PNG payloads whose
+    dimensions follow a SQL-expressible rule), run the aspect-ratio filter
+    with header-only dimension reads, and the reference's post-filter
+    repair (position re-index, orphan-metadata drop). The SQL oracle
+    recomputes the keep set and re-indexed positions from the text length.
+    Reference: stages/interleaved/stages.py:67-176."""
+    from curator_ray.stages.interleaved import (
+        aspect_ratio_filter_stage,
+        derive_interleaved_table,
+    )
+
+    ds = derive_interleaved_table(_read(sf_dir, "documents"))
+    out = aspect_ratio_filter_stage(ds)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["sample_id", "position", "modality", "content_type", "text_content"])
+
+    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["sample_id", "position"]
+    )
 
 
 def q_qa_multilingual(sf_dir: str):
@@ -1323,10 +1341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_filter": q_word_filter,
         "modifiers_applied": q_modifiers_applied,
         # aggregates / sorts / limits
-        "docs_by_source": q_docs_by_source,
-        "docs_by_lang": q_docs_by_lang,
+        "group_counts": q_group_counts,
         "top10_longest": q_top10_longest,
-        "events_by_type": q_events_by_type,
         # similarity search
         "ann_topk": q_ann_topk,
         "approx_ann_recall": q_approx_ann_recall,
@@ -1375,6 +1391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # video family
         "video_clips": q_video_clips,
         "video_motion": q_video_motion,
+        # interleaved family
+        "interleaved_aspect": q_interleaved_aspect,
         # end-to-end composites
         "text_curation": q_text_curation,
     }
@@ -1602,6 +1620,35 @@ FROM c ORDER BY clip_id
 """
 
 
+_INTERLEAVED_SQL = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS sample_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+         length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS L
+  FROM documents
+), k AS (
+  SELECT sample_id,
+         (CAST(8 + L % 24 AS DOUBLE) / (8 + L % 13)) BETWEEN 1.0 AND 2.0 AS keep
+  FROM d
+), rows_ AS (
+  SELECT d.sample_id, CAST(-1 AS BIGINT) AS position, 'metadata' AS modality,
+         'application/json' AS content_type,
+         '{"source": "documents"}' AS text_content
+  FROM d
+  UNION ALL
+  SELECT d.sample_id, 0, 'text', 'text/plain', substr(t, 1, 40) FROM d
+  UNION ALL
+  SELECT d.sample_id, 1, 'image', 'image/png', NULL
+  FROM d JOIN k USING (sample_id) WHERE k.keep
+  UNION ALL
+  SELECT d.sample_id, CASE WHEN k.keep THEN 2 ELSE 1 END, 'text', 'text/plain',
+         substr(t, 41, 40)
+  FROM d JOIN k USING (sample_id)
+)
+SELECT * FROM rows_ ORDER BY sample_id, position
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_removals": (
@@ -1638,16 +1685,17 @@ def oracle_sql() -> dict[str, str]:
             r"WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_words FROM documents) "
             "SELECT doc_id, n_words FROM t WHERE n_words BETWEEN 20 AND 60"
         ),
-        "docs_by_source": (
-            "SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars FROM documents GROUP BY source"
+        "group_counts": (
+            "SELECT * FROM ("
+            "SELECT 'source' AS grouping, source AS key, COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS sum_val FROM documents GROUP BY source "
+            "UNION ALL "
+            "SELECT 'lang', lang, COUNT(*)::BIGINT, 0::BIGINT FROM documents GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'event_type', event_type, COUNT(*)::BIGINT, SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT FROM events GROUP BY event_type"
+            ") ORDER BY grouping, key, n, sum_val"
         ),
-        "docs_by_lang": "SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
         "top10_longest": (
             "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10"
-        ),
-        "events_by_type": (
-            "SELECT event_type, COUNT(*)::BIGINT AS n_events, "
-            "SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT AS sum_cents FROM events GROUP BY event_type"
         ),
         "simhash_docs": _SIMHASH_DOCS_SQL,
         "lang_id": _LANG_ID_SQL,
@@ -1752,4 +1800,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "audio_metrics": _AUDIO_METRICS_SQL,
         "video_clips": _VIDEO_CLIPS_SQL,
+        "interleaved_aspect": _INTERLEAVED_SQL,
     }
