@@ -250,11 +250,52 @@ def _lined(arr):
 
 
 def q_minhash_docs(sf_dir: str):
+    """MinHash signature stage, oracle-checked via the estimator property
+    (VERDICT r2 item: convert upgradeable rows-only queries): for every
+    exact word-3-gram Jaccard >= 0.8 pair — the pair set the oracle-checked
+    ``ngram_jaccard`` SQL reproduces — the 260-permutation signature match
+    fraction must estimate the EXACT char-24-gram Jaccard (the kernel's own
+    shingle space, recomputed directly per pair) within 0.2 (= 8 sigma at
+    260 perms). The SQL oracle contributes the pair set; ``est_ok`` is the
+    in-query verdict, the ``approx_ann_recall`` pattern."""
     from curator_ray.config import FuzzyDedupConfig
+    from curator_ray.stages.jaccard import ngram_jaccard_pairs
     from curator_ray.stages.minhash import minhash_stage
 
-    cfg = FuzzyDedupConfig(id_field="doc_id", text_field="text", num_bands=8, minhashes_per_band=4)
-    return minhash_stage(_read(sf_dir, "documents"), cfg, keep_fields=("doc_id",))
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, text_field="text", id_field="doc_id", n=3, threshold=0.8).to_pandas()
+    ids = sorted(set(pairs.id_a) | set(pairs.id_b))
+    id_set = pa.array(ids)
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("doc_id"), value_set=id_set))
+
+    cfg = FuzzyDedupConfig(id_field="doc_id", text_field="text")
+    sigs = minhash_stage(
+        docs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True),
+        cfg,
+        keep_fields=("doc_id", "text"),
+    ).to_pandas()
+    sig_by_id = dict(zip(sigs.doc_id, sigs[cfg.minhash_field]))
+    text_by_id = dict(zip(sigs.doc_id, sigs.text))
+
+    def char_grams(t: str) -> set:
+        return {t[i : i + 24] for i in range(len(t) - 23)} if len(t) >= 24 else {t}
+
+    ok = []
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        est = float(np.mean(np.asarray(sig_by_id[a]) == np.asarray(sig_by_id[b])))
+        ga, gb = char_grams(text_by_id[a]), char_grams(text_by_id[b])
+        exact = len(ga & gb) / max(len(ga | gb), 1)
+        ok.append(abs(est - exact) <= 0.2)
+    out = pa.table(
+        {
+            "id_a": pa.array(pairs.id_a, pa.int64()),
+            "id_b": pa.array(pairs.id_b, pa.int64()),
+            "est_ok": pa.array(ok, pa.bool_()),
+        }
+    )
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
 def q_fuzzy_dedup_images(sf_dir: str):
@@ -350,7 +391,34 @@ def q_semantic_dedup(sf_dir: str):
     )
     full = ds.union(ray.data.from_arrow(planted))
     removal, _ = semantic_duplicate_ids(full, SemanticDedupConfig(n_clusters=20, eps=0.05))
-    return _collect(removal)
+    removed = set(_collect(removal).column("_id").to_pylist())
+    # Oracle-checked verification rows (fixed shape: one per planted pair,
+    # the approx_ann_recall pattern): a correct pipeline removes EXACTLY ONE
+    # member of each planted near-copy pair (one_removed), the removed
+    # member genuinely sits within eps of its kept partner in the data
+    # (removal_is_near_dup, recomputed directly from the vectors), and no id
+    # outside the planted pairs is removed (no_extra_removals — the raw
+    # random embeddings contain no pair within the threshold).
+    base_ids = [int(v) for v in base.column("vec_id").to_pylist()]
+    planted_ids = [max_id + 1 + i for i in range(len(near))]
+    en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    nn = near / np.maximum(np.linalg.norm(near, axis=1, keepdims=True), 1e-12)
+    pair_sim = (en * nn).sum(axis=1)
+    extra = removed - set(base_ids) - set(planted_ids)
+    rows = []
+    for i, (b_id, p_id) in enumerate(zip(base_ids, planted_ids)):
+        one = (b_id in removed) != (p_id in removed)
+        rows.append(
+            (i, one, bool(one and pair_sim[i] >= 0.95), len(extra) == 0)
+        )
+    return pa.table(
+        {
+            "pair_idx": pa.array([r[0] for r in rows], pa.int64()),
+            "one_removed": pa.array([r[1] for r in rows], pa.bool_()),
+            "removal_is_near_dup": pa.array([r[2] for r in rows], pa.bool_()),
+            "no_extra_removals": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
 
 
 
@@ -1801,4 +1869,25 @@ def oracle_sql() -> dict[str, str]:
         "audio_metrics": _AUDIO_METRICS_SQL,
         "video_clips": _VIDEO_CLIPS_SQL,
         "interleaved_aspect": _INTERLEAVED_SQL,
+        # estimator-property check: the oracle reproduces the exact-Jaccard
+        # pair set (same SQL as ngram_jaccard) and asserts the in-query
+        # minhash-vs-exact verdict is true for every pair
+        "minhash_docs": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents), "
+            "grams AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+            "  FOR i IN range(1, len(w)-1)]) AS g FROM toks WHERE len(w) >= 3), "
+            "sizes AS (SELECT doc_id, len(g) AS n FROM grams), "
+            "ex AS (SELECT doc_id, unnest(g) AS gram FROM grams), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM ex a "
+            "  JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, true AS est_ok FROM inter "
+            "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8 ORDER BY id_a, id_b"
+        ),
+        # fixed-shape verification rows: one per planted near-copy pair, all
+        # three properties must hold (see q_semantic_dedup docstring)
+        "semantic_dedup": (
+            "SELECT i AS pair_idx, true AS one_removed, true AS removal_is_near_dup, "
+            "true AS no_extra_removals FROM range(0, 20) t(i) ORDER BY pair_idx"
+        ),
     }
