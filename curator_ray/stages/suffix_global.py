@@ -15,7 +15,7 @@ Models Better"; per-partition SA+LCP lives in functions/suffix_array.py).
 Algorithm
 ---------
 A row per suffix: ``(doc, off, rank)`` where ``rank`` initially packs the
-4 bytes at ``off`` (positions with fewer than 4 remaining bytes cannot
+``_K0`` (=7) bytes at ``off`` (positions with fewer remaining bytes cannot
 start nor serve any K>=8 comparison and are never emitted).  Each round
 extends the compared prefix from L to L+k (k <= L, schedule reaches K
 exactly):
@@ -61,11 +61,21 @@ import pyarrow.compute as pc
 
 from ..functions.shingles import _string_array_buffers
 
-_K0 = 4  # initial packed-prefix width (bytes)
+# Initial packed-prefix width: 7 bytes is the widest that stays positive in
+# an int64 (56 bits), so ascending int64 sort order == lexicographic byte
+# order with no sign handling. vs the earlier 4-byte pack this removes one
+# full doubling round (2 Dataset sorts at near-peak volume for K=40:
+# 4->8->16->32->40 is 4 rounds; 7->14->28->40 is 3) and makes the first
+# prune compare 7 bytes instead of 4 (smaller equal-prefix runs survive).
+# Chain safety: a suffix with a true >= K match only ever needs targets
+# p+c whose packed/derived ranks cover bytes inside the match span
+# (schedule keeps k <= L and lands on K exactly), and every such target has
+# >= _K0 bytes remaining, so none of its rows are dropped at emit.
+_K0 = 7
 
 
 # ---------------------------------------------------------------------------
-# round 0: emit one row per suffix with a packed 4-byte initial rank
+# round 0: emit one row per suffix with a packed 7-byte initial rank
 # ---------------------------------------------------------------------------
 
 
@@ -81,18 +91,16 @@ def _emit_positions(batch: pa.Table, *, text_field: str, id_field: str) -> pa.Ta
     if total == 0:
         return _EMPTY_ROWS
     doc = np.repeat(ids, npos)
-    # in-doc offsets 0..len-4 for every doc, one flat arange
+    # in-doc offsets 0..len-_K0 for every doc, one flat arange
     starts = np.cumsum(npos) - npos
     off = np.arange(total, dtype=np.int64) - np.repeat(starts, npos)
     flat = np.repeat(offsets[:-1].astype(np.int64), npos) + off
     # gather uint8 first, widen after: avoids an 8x transient copy of the
     # whole text buffer (the peak-memory step of the highest-volume round)
-    rank = (
-        (data[flat].astype(np.int64) << 24)
-        | (data[flat + 1].astype(np.int64) << 16)
-        | (data[flat + 2].astype(np.int64) << 8)
-        | data[flat + 3].astype(np.int64)
-    )
+    rank = data[flat].astype(np.int64)
+    for b in range(1, _K0):
+        rank <<= 8
+        rank |= data[flat + b]
     return pa.table(
         {
             "doc": pa.array(doc, pa.int64()),
