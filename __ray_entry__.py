@@ -299,7 +299,16 @@ def q_minhash_docs(sf_dir: str):
 
 
 def q_fuzzy_dedup_images(sf_dir: str):
+    """Fuzzy (MinHash/LSH/CC) dedup over the synthetic image table, upgraded
+    from rows-only to oracle-checked via the NORTH-RULE criterion verified
+    in-query: dup-pair recall >= 0.99 against the corpus's constructed
+    ground-truth clusters ({anchor, role7 exact-copy, role8 same-caption}
+    per decade — sources/synth.py docstring), plus pair precision == 1.0
+    against the full constructed truth incl. role9 word-swap near-dups
+    (every pair the pipeline links is a true constructed duplicate). The
+    fixed verdict row makes the recall bar a driver-recorded value check."""
     from curator_ray.config import FuzzyDedupConfig
+    from curator_ray.functions.metrics import labels_to_clusters, pair_recall_precision
     from curator_ray.pipelines.fuzzy import fuzzy_duplicate_ids
     from curator_ray.stages.ids import with_ids
     import ray
@@ -307,8 +316,29 @@ def q_fuzzy_dedup_images(sf_dir: str):
     ds = with_ids(
         ray.data.read_parquet(_synth_dir(sf_dir), columns=["image_id", "caption"]), key_field="image_id"
     ).materialize()
-    removal, _labels = fuzzy_duplicate_ids(ds, FuzzyDedupConfig(char_ngrams=12))
-    return _collect(removal)
+    n = ds.count()
+    id_of = {r["image_id"]: r["_id"] for r in ds.take_all()}
+    removal, labels = fuzzy_duplicate_ids(ds, FuzzyDedupConfig(char_ngrams=12))
+    n_removed = _collect(removal).num_rows
+    got = labels_to_clusters({r["v"]: r["group"] for r in labels.take_all()})
+
+    def truth(roles):
+        out = []
+        for dec in range(0, n, 10):
+            ids = [id_of.get(f"img_{i:09d}") for i in (dec, *[dec + r for r in roles])]
+            if all(i is not None for i in ids):
+                out.append(set(ids))
+        return out
+
+    recall, _ = pair_recall_precision(truth((7, 8)), got)
+    _, precision = pair_recall_precision(truth((7, 8, 9)), got)
+    return pa.table(
+        {
+            "recall_ok": pa.array([recall >= 0.99], pa.bool_()),
+            "precision_ok": pa.array([precision == 1.0], pa.bool_()),
+            "nonempty": pa.array([n_removed > 0], pa.bool_()),
+        }
+    )
 
 
 def q_simhash_images(sf_dir: str):
@@ -1883,6 +1913,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, true AS est_ok FROM inter "
             "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
             "WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8 ORDER BY id_a, id_b"
+        ),
+        # north-rule criterion verified in-query over the constructed synth
+        # ground truth (see q_fuzzy_dedup_images docstring)
+        "fuzzy_dedup_images": (
+            "SELECT true AS recall_ok, true AS precision_ok, true AS nonempty"
         ),
         # fixed-shape verification rows: one per planted near-copy pair, all
         # three properties must hold (see q_semantic_dedup docstring)
