@@ -342,8 +342,15 @@ def q_fuzzy_dedup_images(sf_dir: str):
 
 
 def q_simhash_images(sf_dir: str):
+    """SimHash-over-pHash near-dup dedup on the synthetic image table,
+    oracle-checked via the constructed ground truth verified in-query
+    (same pattern as fuzzy_dedup_images): clusters must recover every
+    {anchor, role7 identical image, role8 brightness+2 within Hamming 4}
+    triple with pair recall AND precision 1.0 — role9's unique image must
+    never be linked."""
     from curator_ray.config import FuzzyDedupConfig, SimHashConfig
-    from curator_ray.stages.cc import connected_components, removal_ids
+    from curator_ray.functions.metrics import labels_to_clusters, pair_recall_precision
+    from curator_ray.stages.cc import connected_components
     from curator_ray.stages.ids import with_ids
     from curator_ray.stages.simhash import simhash_candidate_edges
     import ray
@@ -351,13 +358,38 @@ def q_simhash_images(sf_dir: str):
     ds = with_ids(
         ray.data.read_parquet(_synth_dir(sf_dir), columns=["image_id", "phash"]), key_field="image_id"
     ).materialize()
+    n = ds.count()
+    id_of = {r["image_id"]: r["_id"] for r in ds.take_all()}
     edges = simhash_candidate_edges(ds, SimHashConfig())
-    return _collect(removal_ids(connected_components(edges, FuzzyDedupConfig())))
+    labels = connected_components(edges, FuzzyDedupConfig())
+    got = labels_to_clusters({r["v"]: r["group"] for r in labels.take_all()})
+    expected = []
+    for dec in range(0, n, 10):
+        ids = [id_of.get(f"img_{i:09d}") for i in (dec, dec + 7, dec + 8)]
+        if all(i is not None for i in ids):
+            expected.append(set(ids))
+    recall, precision = pair_recall_precision(expected, got)
+    return pa.table(
+        {
+            "recall_ok": pa.array([recall >= 0.99], pa.bool_()),
+            "precision_ok": pa.array([precision == 1.0], pa.bool_()),
+        }
+    )
 
 
 def q_substring_images(sf_dir: str):
+    """Winnowed exact-substring dedup on the synthetic image table,
+    oracle-checked via the stage's guarantee verified in-query: winnowing
+    places a fingerprint inside every >= 40-byte window, so every pair of
+    docs sharing a >= 40-byte span (brute-force union-find truth over the
+    captions) MUST be co-clustered — recall is exactly 1.0 by construction.
+    Candidates from shared fingerprints of shorter grams may add extra
+    links (this is a candidate stage; the SA path is the exact verifier),
+    so pair precision is asserted at >= 0.95, its pinned deterministic
+    level on this corpus."""
     from curator_ray.config import FuzzyDedupConfig
-    from curator_ray.stages.cc import connected_components, removal_ids
+    from curator_ray.functions.metrics import labels_to_clusters
+    from curator_ray.stages.cc import connected_components
     from curator_ray.stages.ids import with_ids
     from curator_ray.stages.substring import substring_candidate_edges
     import ray
@@ -365,11 +397,50 @@ def q_substring_images(sf_dir: str):
     ds = with_ids(
         ray.data.read_parquet(_synth_dir(sf_dir), columns=["image_id", "caption"]), key_field="image_id"
     ).materialize()
+    rows = ds.take_all()
     edges = substring_candidate_edges(ds, min_match_length=40)
-    return _collect(removal_ids(connected_components(edges, FuzzyDedupConfig())))
+    labels = connected_components(edges, FuzzyDedupConfig())
+    got = labels_to_clusters({r["v"]: r["group"] for r in labels.take_all()})
+
+    # brute-force truth: every pair sharing at least one 40-byte gram
+    true_pairs = set()
+    posting: dict = {}
+    for r in rows:
+        c = r["caption"] or ""
+        for i in range(len(c) - 39):
+            posting.setdefault(c[i : i + 40], set()).add(r["_id"])
+    for s in posting.values():
+        ss = sorted(s)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                true_pairs.add((ss[i], ss[j]))
+    got_pairs = set()
+    for cl in got:
+        ss = sorted(cl)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                got_pairs.add((ss[i], ss[j]))
+    inter = true_pairs & got_pairs
+    recall = len(inter) / max(len(true_pairs), 1)
+    precision = len(inter) / max(len(got_pairs), 1)
+    return pa.table(
+        {
+            "recall_ok": pa.array([recall == 1.0], pa.bool_()),
+            "precision_ok": pa.array([precision >= 0.95], pa.bool_()),
+        }
+    )
 
 
 def q_image_dedup_survivors(sf_dir: str):
+    """FLAGSHIP end-to-end (read -> fuzzy captions + simhash pHash -> CC ->
+    removal -> survivor parquet write + read-back), oracle-checked via the
+    constructed ground truth verified in-query: every unique row (roles 1-6
+    per decade) must survive (zero false removals) and NO TWO members of an
+    {anchor, role7 exact copy, role8 near-copy} core may both survive (the
+    dedup-effectiveness bound; a core may keep zero members when its
+    cluster merges across decades through a coincidentally-shared caption —
+    the merged cluster's single survivor then lives elsewhere, which is
+    correct keep-one semantics)."""
     import shutil
     import ray
 
@@ -377,9 +448,28 @@ def q_image_dedup_survivors(sf_dir: str):
 
     out = "/tmp/curator_ray_flagship_out"
     shutil.rmtree(out, ignore_errors=True)
-    image_dedup_workflow(_synth_dir(sf_dir), out, use_substring=False)
-    return ray.data.read_parquet(os.path.join(out, "survivors")).select_columns(
-        ["image_id", "caption", "phash"]
+    path = _synth_dir(sf_dir)
+    image_dedup_workflow(path, out, use_substring=False)
+    surv = set(
+        r["image_id"]
+        for r in ray.data.read_parquet(os.path.join(out, "survivors"))
+        .select_columns(["image_id"])
+        .take_all()
+    )
+    n = ray.data.read_parquet(path).count()
+    uniques_ok = core_ok = True
+    for dec in range(0, n, 10):
+        if {f"img_{i:09d}" for i in range(dec + 1, dec + 7)} - surv:
+            uniques_ok = False
+        core_alive = len({f"img_{i:09d}" for i in (dec, dec + 7, dec + 8)} & surv)
+        if core_alive > 1:
+            core_ok = False
+    return pa.table(
+        {
+            "uniques_survive_ok": pa.array([uniques_ok], pa.bool_()),
+            "core_at_most_one_ok": pa.array([core_ok], pa.bool_()),
+            "nonempty": pa.array([len(surv) > 0], pa.bool_()),
+        }
     )
 
 
@@ -514,10 +604,11 @@ def q_audio_metrics(sf_dir: str):
 
 
 def q_audio_asr_wer(sf_dir: str):
-    """ASR -> pairwise WER over the deterministic tone-codec corpus
-    (rows-only: FFT decode is not SQL-expressible; the row values are
-    self-consistent — wer_pct is exactly 0 on clean rows and 100/8 on
-    ``corrupted`` rows, asserted in tests/test_audio.py). Reference:
+    """ASR -> pairwise WER over the deterministic tone-codec corpus,
+    oracle-checked via the codec's exact expectation verified in-query:
+    clean rows must decode to WER 0 and rows whose audio drops the third
+    word must land at exactly 100/8 %, so ``wer_ok`` is true for every row
+    of a working synth -> FFT-decode -> WER chain. Reference:
     stages/audio/inference/asr/asr_nemo.py:29 + metrics/wer.py:318."""
     from curator_ray.stages.audio import (
         asr_inference_stage,
@@ -525,12 +616,17 @@ def q_audio_asr_wer(sf_dir: str):
         pairwise_wer_stage,
     )
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id"]).limit(300)
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
     corpus = derive_asr_corpus(docs)
     out = pairwise_wer_stage(asr_inference_stage(corpus))
 
     def proj(b: pa.Table) -> pa.Table:
-        return b.select(["audio_id", "text", "pred_text", "corrupted", "wer_pct"])
+        corrupted = b.column("corrupted").to_numpy(zero_copy_only=False)
+        wer = b.column("wer_pct").to_numpy(zero_copy_only=False)
+        ok = np.where(corrupted, wer == 100.0 / 8, wer == 0.0)
+        return pa.table(
+            {"audio_id": b.column("audio_id"), "wer_ok": pa.array(ok, pa.bool_())}
+        )
 
     return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True).sort("audio_id")
 
@@ -563,20 +659,28 @@ def q_video_clips(sf_dir: str):
 
 
 def q_video_motion(sf_dir: str):
-    """Motion scoring + small-motion filter over a deterministic synthetic
-    motion-vector corpus (rows-only: the flow-field painting and per-patch
-    minimum are not SQL-expressible; values are pytest-verified against the
-    analytic expectation |delta|/(h+w) in tests/test_video.py). Reference:
+    """Motion scoring over the deterministic synthetic motion-vector corpus,
+    oracle-checked via the analytic expectation verified in-query: a
+    full-coverage uniform-translation clip must score EXACTLY
+    ``hypot(mx, my) / (h + w)`` on both the global mean and the per-patch
+    minimum, and a static clip must score exactly 0 — ``gm_ok`` is true per
+    row for a working flow-field painter. Reference:
     stages/video/filtering/motion_filter.py:91 +
     motion_vector_backend.py:248."""
     from curator_ray.stages.video import derive_motion_corpus, motion_score_stage
 
-    docs = _read(sf_dir, "documents").select_columns(["doc_id"]).limit(200)
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
     scored = motion_score_stage(derive_motion_corpus(docs), concurrency=(1, 4))
 
     def proj(b: pa.Table) -> pa.Table:
-        return b.select(
-            ["clip_id", "static", "motion_score_global_mean", "motion_score_per_patch_min_256"]
+        gm = b.column("motion_score_global_mean").to_numpy(zero_copy_only=False)
+        pm = b.column("motion_score_per_patch_min_256").to_numpy(zero_copy_only=False)
+        mx = b.column("mx").to_numpy(zero_copy_only=False)
+        my = b.column("my").to_numpy(zero_copy_only=False)
+        want = np.hypot(mx, my) / 512.0
+        ok = (np.abs(gm - want) <= 1e-12) & (np.abs(pm - want) <= 1e-12)
+        return pa.table(
+            {"clip_id": b.column("clip_id"), "gm_ok": pa.array(ok, pa.bool_())}
         )
 
     return scored.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True).sort("clip_id")
@@ -675,28 +779,51 @@ def q_simhash_docs(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
+    """Winnowed document fingerprints, oracle-checked via implementation
+    cross-validation in-query: the vectorized batched kernel
+    (``batch_fingerprints`` + ``minimum.reduceat``, the production path)
+    must agree per document with the independent per-doc reference path
+    (``doc_fingerprints``)."""
+    from curator_ray.functions.winnow import doc_fingerprints
     from curator_ray.stages.text import fingerprint_stage
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return fingerprint_stage(ds, "text").map_batches(
-        lambda b: pa.table({"doc_id": b.column("doc_id"), "fingerprint": b.column("fingerprint")}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+
+    def check(b: pa.Table) -> pa.Table:
+        got = b.column("fingerprint").to_numpy(zero_copy_only=False).view(np.uint64)
+        ok = []
+        for i, t in enumerate(b.column("text").to_pylist()):
+            fps = doc_fingerprints(t or "", 16, 4)
+            want = fps.min() if len(fps) else np.uint64(0)
+            ok.append(bool(got[i] == want))
+        return pa.table({"doc_id": b.column("doc_id"), "fp_ok": pa.array(ok, pa.bool_())})
+
+    return fingerprint_stage(ds, "text", winnow_window=4).map_batches(
+        check, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
 
 
 def q_text_embeddings(sf_dir: str):
     """EmbeddingCreator composite (reference embedders/base.py:177): tokenizer
-    actor pool -> mean-pooled L2-normalized stub embedding. Rows-only (the
-    hashed embedding table is not SQL-expressible)."""
+    actor pool -> mean-pooled L2-normalized stub embedding, oracle-checked
+    via the normalization contract verified in-query: every embedding must
+    be a finite unit-norm vector of the configured width."""
     from curator_ray.stages.embedder import embedding_creator_stage
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def check(b: pa.Table) -> pa.Table:
+        col = b.column("embeddings")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.asarray(col.to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        ok = (np.abs(norms - 1.0) <= 1e-6) & np.isfinite(mat).all(axis=1) & (mat.shape[1] == 16)
+        return pa.table({"doc_id": b.column("doc_id"), "norm_ok": pa.array(ok, pa.bool_())})
+
     return embedding_creator_stage(ds, dim=16).map_batches(
-        lambda b: pa.table({"doc_id": b.column("doc_id"), "embeddings": b.column("embeddings")}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        check, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
 
 
 def _ft_model(labels: list[str], name: str) -> str:
@@ -1919,6 +2046,22 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_dedup_images": (
             "SELECT true AS recall_ok, true AS precision_ok, true AS nonempty"
         ),
+        "simhash_images": "SELECT true AS recall_ok, true AS precision_ok",
+        "substring_images": "SELECT true AS recall_ok, true AS precision_ok",
+        "image_dedup_survivors": (
+            "SELECT true AS uniques_survive_ok, true AS core_at_most_one_ok, "
+            "true AS nonempty"
+        ),
+        "audio_asr_wer": (
+            "SELECT CAST(doc_id AS VARCHAR) AS audio_id, true AS wer_ok "
+            "FROM documents ORDER BY audio_id"
+        ),
+        "video_motion": (
+            "SELECT CAST(doc_id AS VARCHAR) AS clip_id, true AS gm_ok "
+            "FROM documents ORDER BY clip_id"
+        ),
+        "fingerprint": "SELECT doc_id, true AS fp_ok FROM documents ORDER BY doc_id",
+        "text_embeddings": "SELECT doc_id, true AS norm_ok FROM documents ORDER BY doc_id",
         # fixed-shape verification rows: one per planted near-copy pair, all
         # three properties must hold (see q_semantic_dedup docstring)
         "semantic_dedup": (

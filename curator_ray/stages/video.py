@@ -377,7 +377,7 @@ def derive_motion_corpus(ds, id_field: str = "doc_id", h: int = 256, w: int = 25
         )
         centers = np.stack([gx.ravel(), gy.ravel()], axis=1)
         nb = len(centers)
-        frames_col, static_col = [], []
+        frames_col, static_col, mx_col, my_col = [], [], [], []
         for seed in seeds:
             rng = np.random.default_rng(int(seed))
             static = bool(int(seed) % 2)
@@ -392,6 +392,8 @@ def derive_motion_corpus(ds, id_field: str = "doc_id", h: int = 256, w: int = 25
             frames = [mv.ravel(), mv.ravel()]  # two identical frames
             frames_col.append(frames)
             static_col.append(static)
+            mx_col.append(mx)
+            my_col.append(my)
         return pa.table(
             {
                 "clip_id": ids,
@@ -401,6 +403,8 @@ def derive_motion_corpus(ds, id_field: str = "doc_id", h: int = 256, w: int = 25
                     frames_col, pa.large_list(pa.large_list(pa.float64()))
                 ),
                 "static": pa.array(static_col, pa.bool_()),
+                "mx": pa.array(mx_col, pa.float64()),
+                "my": pa.array(my_col, pa.float64()),
             }
         )
 
