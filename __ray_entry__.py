@@ -1547,8 +1547,21 @@ def q_classifier_parity(sf_dir: str):
 
 
 def entry() -> Any:
-    """Flagship pipeline smoke: full image dedup on the synthetic table."""
-    return q_image_dedup_survivors("/root/testdata/sf0.001")
+    """Flagship pipeline smoke: full image dedup on the synthetic table,
+    returning the survivor table itself (q_image_dedup_survivors returns
+    the ground-truth verdict row instead; the driver smoke wants rows with
+    a stable schema)."""
+    import shutil
+    import ray
+
+    from curator_ray.pipelines.image_dedup import image_dedup_workflow
+
+    out = "/tmp/curator_ray_flagship_entry_out"
+    shutil.rmtree(out, ignore_errors=True)
+    image_dedup_workflow(_synth_dir("/root/testdata/sf0.001"), out, use_substring=False)
+    return ray.data.read_parquet(os.path.join(out, "survivors")).select_columns(
+        ["image_id", "caption", "phash"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
