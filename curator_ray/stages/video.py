@@ -308,18 +308,52 @@ def motion_filter_stage(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def decode_motion_vectors(video_bytes: bytes, **kwargs):
-    """Real MV decode requires PyAV's EXPORT_MVS path
-    (``motion_vector_backend.py:165-245``); gated here like Lance/vLLM."""
+def decode_motion_vectors(
+    video_bytes: bytes,
+    target_fps: float = 2.0,
+    target_duration_ratio: float = 0.5,
+) -> list[np.ndarray]:
+    """Decode per-frame motion vectors from codec side data via PyAV's
+    EXPORT_MVS flag (reference ``motion_vector_backend.py:165-245``):
+    sample frames at ``target_fps`` over ``target_duration_ratio`` of the
+    stream, returning one (n_vectors, 10) float array per sampled frame in
+    the layout :func:`paint_flowfield` consumes. Gated on the ``av``
+    package (absent in this sandbox, like Lance/vLLM); the in-sandbox path
+    supplies ``mv_frames`` columns directly (see derive_motion_corpus)."""
     try:
-        import av  # noqa: F401
+        import av
     except ImportError as exc:
         raise ImportError(
             "PyAV is not installed in this environment; motion vectors must "
             "arrive as an 'mv_frames' column (see derive_motion_corpus), or "
             "install av in deployment for in-engine decode."
         ) from exc
-    raise NotImplementedError("PyAV present but in-engine MV decode is deployment-only")
+    import io as _io
+
+    out: list[np.ndarray] = []
+    with av.open(_io.BytesIO(video_bytes), metadata_errors="ignore") as container:
+        stream = container.streams.video[0]
+        ctx = stream.codec_context
+        ctx.flags2 |= av.codec.context.Flags2.EXPORT_MVS
+        fps = float(stream.average_rate or stream.base_rate or 30)
+        dur = float(stream.duration * stream.time_base) if stream.duration else 30.0
+        max_frames = max(10, round(target_fps * dur * target_duration_ratio))
+        step = max(1, round(fps / target_fps))
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % step:
+                continue
+            if frame.height < _MIN_SIDE_RESOLUTION or frame.width < _MIN_SIDE_RESOLUTION:
+                raise ValueError(
+                    f"min resolution {_MIN_SIDE_RESOLUTION}, got {(frame.height, frame.width)}"
+                )
+            for sd in frame.side_data:
+                if sd.type == av.sidedata.sidedata.Type.MOTION_VECTORS:
+                    mv = np.asarray(sd.to_ndarray().tolist(), dtype=np.float64)
+                    out.append(mv[:, 1:])  # drop the 'source' field -> 10 cols
+                    break
+            if len(out) >= max_frames:
+                break
+    return out
 
 
 # ---------------------------------------------------------------- synthetic

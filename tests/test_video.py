@@ -158,5 +158,7 @@ def test_motion_filter_pipeline():
 def test_decode_motion_vectors_gated():
     from curator_ray.stages.video import decode_motion_vectors
 
-    with pytest.raises((ImportError, NotImplementedError)):
+    # PyAV is absent in this sandbox: the gate must raise an informative
+    # ImportError (with the package present the real decode path runs)
+    with pytest.raises(ImportError, match="mv_frames"):
         decode_motion_vectors(b"")
