@@ -38,6 +38,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--no-pixels", action="store_true")
 
+    t = sub.add_parser(
+        "text-curation",
+        help="canonical text recipe: clean -> filter -> exact-dedup -> write",
+    )
+    t.add_argument("--input", required=True, help="parquet or jsonl directory/file of documents")
+    t.add_argument("--output", required=True, help="output parquet directory")
+    t.add_argument("--text-field", default="text")
+    t.add_argument("--id-field", default="doc_id")
+    t.add_argument("--min-words", type=int, default=20)
+    t.add_argument("--max-words", type=int, default=60)
+    t.add_argument("--modifiers", default="unicode,urls", help="comma list of {unicode, urls}")
+
     args = p.parse_args(argv)
 
     import ray
@@ -52,6 +64,27 @@ def main(argv: list[str] | None = None) -> int:
             args.output, n_rows=args.rows, seed=args.seed, with_pixels=not args.no_pixels, use_ray=True
         )
         print(json.dumps({"output": args.output, "rows": args.rows}))
+        return 0
+
+    if args.cmd == "text-curation":
+        from .pipelines.text_curation import TextCurationConfig, text_curation_survivors
+        from .sources.io import read_jsonl, read_parquet, write_parquet
+
+        reader = read_jsonl if args.input.rstrip("/").endswith((".jsonl", ".json")) else read_parquet
+        ds = reader(args.input)
+        cfg = TextCurationConfig(
+            text_field=args.text_field,
+            id_field=args.id_field,
+            min_words=args.min_words,
+            max_words=args.max_words,
+            modifiers=tuple(m for m in args.modifiers.split(",") if m),
+        )
+        survivors = text_curation_survivors(ds, cfg)
+        write_parquet(survivors, args.output, mode="overwrite")
+        import ray as _ray
+
+        n = _ray.data.read_parquet(args.output).count()
+        print(json.dumps({"output": args.output, "survivors": n}))
         return 0
 
     from .config import FuzzyDedupConfig
