@@ -429,6 +429,128 @@ def asr_inference_stage(
 
 
 # --------------------------------------------------------------------------
+# VAD segmentation (fan-out: one row per speech segment)
+# --------------------------------------------------------------------------
+
+
+def energy_vad_intervals(
+    audio: np.ndarray,
+    rate: int,
+    frame_ms: int = 10,
+    energy_threshold: float = 1e-4,
+    min_silence_ms: int = 100,
+    min_duration_s: float = 0.0,
+    max_duration_s: float = 30.0,
+    speech_pad_ms: int = 0,
+) -> np.ndarray:
+    """(n, 2) array of (start_ms, end_ms) speech intervals from frame-energy
+    voice activity detection — the classic DSP baseline standing in for the
+    reference's Silero model (``segmentation/vad_segmentation.py:60-240``;
+    the model itself is torch-bound and gated). Semantics mirror the
+    reference's post-processing: silences shorter than ``min_silence_ms``
+    merge adjacent speech, segments get ``speech_pad_ms`` padding, run
+    longer than ``max_duration_s`` split, shorter than ``min_duration_s``
+    drop."""
+    hop = max(1, int(rate * frame_ms / 1000))
+    n = len(audio) // hop
+    if n == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    frames = audio[: n * hop].reshape(n, hop)
+    active = (frames**2).mean(axis=1) > energy_threshold
+    edges = np.diff(active.astype(np.int8), prepend=0, append=0)
+    starts = np.flatnonzero(edges == 1)
+    ends = np.flatnonzero(edges == -1)
+    if len(starts) == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    # merge runs separated by silence < min_silence_ms
+    min_gap = max(1, min_silence_ms // frame_ms)
+    keep_gap = (starts[1:] - ends[:-1]) >= min_gap
+    seg_starts = starts[np.concatenate([[True], keep_gap])]
+    seg_ends = ends[np.concatenate([keep_gap, [True]])]
+    s_ms = np.maximum(seg_starts * frame_ms - speech_pad_ms, 0)
+    e_ms = np.minimum(seg_ends * frame_ms + speech_pad_ms, int(len(audio) / rate * 1000))
+    out = []
+    max_ms = int(max_duration_s * 1000)
+    min_ms = int(min_duration_s * 1000)
+    for a, b in zip(s_ms, e_ms):
+        while b - a > max_ms:  # split oversized runs at max_duration
+            out.append((a, a + max_ms))
+            a += max_ms
+        if b - a >= max(min_ms, 1):
+            out.append((a, b))
+    return np.asarray(out, dtype=np.int64).reshape(-1, 2)
+
+
+class VadSegmentation:
+    """Actor-pool map_batches: fan each audio row out to one row per speech
+    segment (reference ``VADSegmentationStage`` non-nested mode), columns
+    ``(…passthrough, segment_num, start_ms, end_ms, duration, audio)`` where
+    ``audio`` holds the re-encoded PCM16 slice. ``model_name`` selects the
+    Silero path (torch-bound, gated); default is the energy VAD above."""
+
+    def __init__(self, audio_field: str = "audio", model_name: str | None = None, **vad_kwargs):
+        self.audio_field = audio_field
+        self.vad_kwargs = vad_kwargs
+        if model_name:
+            try:
+                import silero_vad  # noqa: F401
+            except ImportError as exc:  # pragma: no cover - sandbox path
+                raise ImportError(
+                    "silero-vad is not installed in this environment; omit "
+                    "model_name to use the energy-threshold VAD, or install "
+                    "silero-vad + torch in deployment."
+                ) from exc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        passthrough = [c for c in batch.schema.names if c != self.audio_field]
+        cols: dict[str, list] = {c: [] for c in passthrough}
+        seg_num, s_ms, e_ms, dur, blobs = [], [], [], [], []
+        for i, blob in enumerate(batch.column(self.audio_field)):
+            b = blob.as_py()
+            if not b:
+                continue
+            try:
+                audio, rate = decode_wav(b)
+            except ValueError:
+                continue
+            ivals = energy_vad_intervals(audio, rate, **self.vad_kwargs)
+            for k, (a, e) in enumerate(ivals):
+                for c in passthrough:
+                    cols[c].append(batch.column(c)[i].as_py())
+                seg_num.append(k)
+                s_ms.append(int(a))
+                e_ms.append(int(e))
+                dur.append((int(e) - int(a)) / 1000.0)
+                sl = audio[int(a * rate / 1000) : int(e * rate / 1000)]
+                blobs.append(encode_wav(sl, rate))
+        out = {c: pa.array(cols[c]) for c in passthrough}
+        out["segment_num"] = pa.array(seg_num, pa.int64())
+        out["start_ms"] = pa.array(s_ms, pa.int64())
+        out["end_ms"] = pa.array(e_ms, pa.int64())
+        out["duration"] = pa.array(dur, pa.float64())
+        out["audio"] = pa.array(blobs, pa.binary())
+        return pa.table(out)
+
+
+def vad_segmentation_stage(
+    ds,
+    audio_field: str = "audio",
+    model_name: str | None = None,
+    concurrency: tuple[int, int] = (1, 8),
+    batch_size: int = 64,
+    **vad_kwargs,
+):
+    return ds.map_batches(
+        VadSegmentation,
+        fn_constructor_kwargs={"audio_field": audio_field, "model_name": model_name, **vad_kwargs},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+# --------------------------------------------------------------------------
 # conversion + synthetic derivation
 # --------------------------------------------------------------------------
 

@@ -280,3 +280,51 @@ def test_derive_audio_table_duration_rule():
     want = ((len(ref_p) % 50) + 10) * 16 / 16000.0
     assert out.loc["p", "duration"] == pytest.approx(want)
     assert out.loc["q", "text"] == "z" * 80  # ref_chars cap
+
+
+# ----------------------------------------------------------- VAD segmentation
+
+
+def test_energy_vad_intervals_tone_words():
+    from curator_ray.stages.audio import energy_vad_intervals
+
+    words = np.array([3, 10, 40], dtype=np.int64)
+    audio, rate = decode_wav(synth_speech(words))
+    ivals = energy_vad_intervals(audio, rate, min_silence_ms=10)
+    assert len(ivals) == 3  # 20 ms gaps >= 10 ms silence -> one per word
+    durs = (ivals[:, 1] - ivals[:, 0]) / 1000.0
+    assert np.all(np.abs(durs - 0.08) < 0.03)
+    merged = energy_vad_intervals(audio, rate, min_silence_ms=50)
+    assert len(merged) == 1  # 20 ms gaps < 50 ms -> all merged
+    # max-duration split of the merged run
+    split = energy_vad_intervals(audio, rate, min_silence_ms=50, max_duration_s=0.1)
+    assert len(split) >= 2
+    assert len(energy_vad_intervals(np.zeros(16000), 16000)) == 0  # silence
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vad_to_asr_per_segment():
+    import ray
+
+    from curator_ray.stages.audio import (
+        asr_inference_stage,
+        vad_segmentation_stage,
+    )
+
+    words = np.array([5, 17, 60], dtype=np.int64)
+    rows = pa.table({"audio_id": ["u1"], "audio": [synth_speech(words)]})
+    segs = vad_segmentation_stage(
+        ray.data.from_arrow(rows), min_silence_ms=10, concurrency=(1, 2)
+    )
+    out = asr_inference_stage(segs, concurrency=(1, 2)).to_pandas().sort_values("segment_num")
+    assert len(out) == 3
+    assert (out.end_ms > out.start_ms).all()
+    # each segment decodes to exactly its word
+    assert list(out.pred_text) == [TONE_VOCAB[w] for w in words]
+
+
+def test_vad_model_path_gated():
+    from curator_ray.stages.audio import VadSegmentation
+
+    with pytest.raises(ImportError, match="energy-threshold"):
+        VadSegmentation(model_name="silero_vad")
