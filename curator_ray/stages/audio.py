@@ -273,6 +273,121 @@ def bandwidth_stage(ds, audio_field: str = "audio", concurrency: tuple[int, int]
 
 
 # --------------------------------------------------------------------------
+# band-energy features + band filter
+# --------------------------------------------------------------------------
+
+# reference band_filter_module/features.py:28-53 — 24 fixed 1 kHz bands
+BAND_DEFINITIONS = {
+    **{f"low{i}": ((i - 1) * 1000, i * 1000) for i in (1, 2, 3)},
+    **{f"mid{i}": ((i + 2) * 1000, (i + 3) * 1000) for i in range(1, 11)},
+    "high": (13000, 14000),
+    **{f"high{i}": ((i + 13) * 1000, (i + 14) * 1000) for i in range(1, 11)},
+}
+_HIGH_FREQ_CUTOFF = 8000.0
+
+
+def band_energy_features(audio: np.ndarray, rate: int, n_fft: int = 4096) -> dict[str, float]:
+    """Per-band mean power in dB relative to the global spectral peak, with
+    the reference's high-frequency attenuation ramp
+    (``band_filter_module/features.py:67-119``). The reference first
+    LUFS-normalizes the waveform (pyloudnorm); because every feature is a
+    power RATIO against the global max, uniform amplitude scaling cancels
+    exactly, so the normalization is a mathematical no-op for this feature
+    set and is omitted here (pyloudnorm absent; equivalence by scale
+    invariance, covered in tests)."""
+    if len(audio) < n_fft:
+        audio = np.pad(audio, (0, n_fft - len(audio)))
+    hop = n_fft // 4
+    n = 1 + (len(audio) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
+    win = np.hanning(n_fft)
+    power = np.abs(np.fft.rfft(audio[idx] * win[None, :], axis=1)) ** 2
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+    global_max = max(float(power.max()), 1e-10)
+    out = {}
+    for band, (f_min, f_max) in BAND_DEFINITIONS.items():
+        mask = (freqs >= f_min) & (freqs < f_max)
+        if mask.any():
+            mean_power = float(power[:, mask].mean())
+            db = 10.0 * np.log10(max(mean_power, 1e-12) / global_max)
+            if f_min >= _HIGH_FREQ_CUTOFF:
+                db -= (f_min - _HIGH_FREQ_CUTOFF) / 14000.0 * 12.0
+            out[f"band_energy_{band}"] = db
+        else:  # band above Nyquist for this sample rate
+            out[f"band_energy_{band}"] = -120.0
+    return out
+
+
+class BandPredictor:
+    """Band label (full_band / narrow_band) from the band-energy profile
+    (reference ``band_filter_module/predict.py:26-120``). The reference's
+    joblib classifier is model-bound and gated; the in-sandbox predictor is
+    a rule on the same features: audio whose >= 8 kHz bands hold energy
+    within ``wideband_threshold_db`` of the spectral peak is full-band."""
+
+    def __init__(self, model_path: str | None = None, wideband_threshold_db: float = -45.0):
+        self.threshold = wideband_threshold_db
+        self.model = None
+        if model_path:
+            try:
+                import joblib
+            except ImportError as exc:  # pragma: no cover - sandbox path
+                raise ImportError(
+                    "joblib is not installed in this environment; omit "
+                    "model_path to use the rule-based band predictor, or "
+                    "install joblib + the trained model in deployment."
+                ) from exc
+            self.model = joblib.load(model_path)  # pragma: no cover
+
+    def predict(self, audio: np.ndarray, rate: int) -> str:
+        feats = band_energy_features(audio, rate)
+        if self.model is not None:  # pragma: no cover - needs model file
+            vec = np.array([feats[k] for k in sorted(feats)])[None, :]
+            return str(self.model.predict(vec)[0])
+        high = [v for k, v in feats.items() if "high" in k or k in ("mid6", "mid7", "mid8", "mid9", "mid10")]
+        return "full_band" if max(high) > self.threshold else "narrow_band"
+
+
+def band_filter_stage(
+    ds,
+    audio_field: str = "audio",
+    keep_label: str = "full_band",
+    model_path: str | None = None,
+    concurrency: tuple[int, int] = (1, 8),
+):
+    """Keep rows whose audio classifies as ``keep_label`` (reference
+    ``BandFilterStage``, ``filtering/band.py:53-170``); adds the
+    ``band_label`` column."""
+
+    class _Stage:
+        def __init__(self):
+            self.pred = BandPredictor(model_path)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            labels = []
+            for blob in batch.column(audio_field):
+                b = blob.as_py()
+                if not b:
+                    labels.append("invalid")
+                    continue
+                try:
+                    audio, rate = decode_wav(b)
+                    labels.append(self.pred.predict(audio, rate))
+                except ValueError:
+                    labels.append("invalid")
+            out = batch.append_column("band_label", pa.array(labels, pa.string()))
+            return out.filter(pc.equal(out.column("band_label"), keep_label))
+
+    return ds.map_batches(
+        _Stage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=128,
+    )
+
+
+# --------------------------------------------------------------------------
 # value filter
 # --------------------------------------------------------------------------
 

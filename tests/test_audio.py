@@ -328,3 +328,61 @@ def test_vad_model_path_gated():
 
     with pytest.raises(ImportError, match="energy-threshold"):
         VadSegmentation(model_name="silero_vad")
+
+
+# ----------------------------------------------------------- band filter
+
+
+def test_band_energy_features_scale_invariant_and_shape():
+    from curator_ray.stages.audio import BAND_DEFINITIONS, band_energy_features
+
+    assert len(BAND_DEFINITIONS) == 24  # reference band table
+    rate = 48000
+    rng = np.random.default_rng(5)
+    noise = rng.normal(0, 0.3, rate)
+    f1 = band_energy_features(noise, rate)
+    f2 = band_energy_features(noise * 7.3, rate)  # LUFS-normalization no-op
+    assert all(abs(f1[k] - f2[k]) < 1e-9 for k in f1)
+    tone = 0.5 * np.sin(2 * np.pi * 1500 * np.arange(rate) / rate)
+    ft = band_energy_features(tone, rate)
+    assert ft["band_energy_low2"] > -30  # the tone's band is near the peak
+    assert ft["band_energy_high3"] < -100  # far bands are empty
+    # bands above Nyquist at 16 kHz input collapse to the floor
+    f16 = band_energy_features(tone[:16000], 16000)
+    assert f16["band_energy_high10"] == -120.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_band_filter_stage_separates():
+    import ray
+
+    from curator_ray.stages.audio import band_filter_stage
+
+    rate = 48000
+    rng = np.random.default_rng(9)
+    rows = pa.table(
+        {
+            "audio_id": ["wide", "narrow", "bad"],
+            "audio": [
+                encode_wav(rng.normal(0, 0.3, rate), rate),
+                encode_wav(0.5 * np.sin(2 * np.pi * 800 * np.arange(rate) / rate), rate),
+                b"junk",
+            ],
+        }
+    )
+    kept = band_filter_stage(ray.data.from_arrow(rows), concurrency=(1, 2)).to_pandas()
+    assert list(kept.audio_id) == ["wide"]
+    assert list(kept.band_label) == ["full_band"]
+
+
+def test_band_predictor_model_path_gated():
+    from curator_ray.stages.audio import BandPredictor
+
+    try:
+        import joblib  # noqa: F401
+
+        pytest.skip("joblib present: gate not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="rule-based"):
+        BandPredictor(model_path="/tmp/nonexistent.joblib")
