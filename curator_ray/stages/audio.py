@@ -666,6 +666,136 @@ def vad_segmentation_stage(
 
 
 # --------------------------------------------------------------------------
+# ALM training-window builder
+# --------------------------------------------------------------------------
+
+_MIN_SEGMENTS_PER_WINDOW = 2  # reference alm_data_builder.py:32
+
+
+def build_alm_windows(
+    segments: list[dict],
+    sample_rate: int,
+    target_window_duration: float = 120.0,
+    tolerance: float = 0.1,
+    min_bandwidth: int = 8000,
+    min_sample_rate: int = 16000,
+    min_speakers: int = 2,
+    max_speakers: int = 5,
+) -> list[dict]:
+    """Greedy ALM training-window extraction over one utterance's segment
+    list (reference ``ALMDataBuilderStage._process_single_entry``,
+    ``alm/alm_data_builder.py:183-291``): from each qualifying start
+    segment, extend while the window stays under ``max_duration`` with at
+    most ``max_speakers`` labeled speakers and no ``no-speaker`` region;
+    accept windows whose duration lands in the +/-``tolerance`` band with
+    >= 2 segments and >= ``min_speakers``. Speaker durations are the top-5
+    descending, zero-padded. The reference's word-level truncation branch
+    needs word timestamps; segments without a ``words`` list use the
+    ``truncation=False`` behavior (stop at the boundary) — documented
+    deviation."""
+    tol = target_window_duration * tolerance
+    min_dur, max_dur = target_window_duration - tol, target_window_duration + tol
+    if sample_rate < min_sample_rate or not segments:
+        return []
+
+    def bw(s):
+        return int(s.get("bandwidth", s.get("metrics", {}).get("bandwidth", 0)))
+
+    def spk_durs(segs):
+        d: dict = {}
+        for s in segs:
+            spk = s.get("speaker")
+            if spk:
+                d[spk] = d.get(spk, 0.0) + (s["end"] - s["start"])
+        return d
+
+    windows = []
+    for start_idx, seg in enumerate(segments):
+        if bw(seg) < min_bandwidth:
+            continue
+        window_segs: list[dict] = []
+        window_start = seg["start"]
+        window_end = seg["end"]
+        for curr in segments[start_idx:]:
+            if bw(curr) < min_bandwidth:
+                break
+            if curr["end"] - window_start > max_dur:
+                words = [w for w in curr.get("words", []) if w["end"] <= window_start + max_dur]
+                if words:  # word-level truncation (reference :74-89)
+                    part = dict(curr)
+                    part["end"] = words[-1]["end"]
+                    part["text"] = " ".join(w.get("word", "") for w in words if w.get("word"))
+                    d = spk_durs([*window_segs, part])
+                    if len(d) > max_speakers or "no-speaker" in d:
+                        break
+                    window_segs.append(part)
+                    window_end = part["end"]
+                break
+            d = spk_durs([*window_segs, curr])
+            if len(d) > max_speakers or "no-speaker" in d:
+                break
+            window_end = curr["end"]
+            window_segs.append(curr)
+        dur = window_end - window_start
+        if not min_dur <= dur <= max_dur:
+            continue
+        if len(window_segs) < _MIN_SEGMENTS_PER_WINDOW or any(bw(s) < min_bandwidth for s in window_segs):
+            continue
+        d = spk_durs(window_segs)
+        if not min_speakers <= len(d) <= max_speakers or "no-speaker" in d:
+            continue
+        durs = sorted(d.values(), reverse=True)[:5]
+        durs += [0.0] * (5 - len(durs))
+        windows.append(
+            {
+                "window_start": window_start,
+                "window_end": window_end,
+                "n_segments": len(window_segs),
+                "speaker_durations": durs,
+                "text": " ".join(s.get("text", "") for s in window_segs),
+            }
+        )
+    return windows
+
+
+def alm_window_stage(ds, segments_field: str = "segments", sample_rate_field: str = "sample_rate", **kwargs):
+    """Fan each utterance row out to one row per valid ALM training window.
+    ``segments`` is a nested list<struct> column (start, end, speaker,
+    bandwidth, text, optional words)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("audio_id").to_pylist()
+        segs_col = batch.column(segments_field).to_pylist()
+        rates = batch.column(sample_rate_field).to_numpy(zero_copy_only=False)
+        out = {
+            "audio_id": [], "window_num": [], "window_start": [], "window_end": [],
+            "n_segments": [], "speaker_durations": [], "text": [],
+        }
+        for aid, segs, rate in zip(ids, segs_col, rates):
+            for k, w in enumerate(build_alm_windows(segs or [], int(rate), **kwargs)):
+                out["audio_id"].append(aid)
+                out["window_num"].append(k)
+                out["window_start"].append(w["window_start"])
+                out["window_end"].append(w["window_end"])
+                out["n_segments"].append(w["n_segments"])
+                out["speaker_durations"].append(w["speaker_durations"])
+                out["text"].append(w["text"])
+        return pa.table(
+            {
+                "audio_id": pa.array(out["audio_id"], pa.string()),
+                "window_num": pa.array(out["window_num"], pa.int64()),
+                "window_start": pa.array(out["window_start"], pa.float64()),
+                "window_end": pa.array(out["window_end"], pa.float64()),
+                "n_segments": pa.array(out["n_segments"], pa.int64()),
+                "speaker_durations": pa.array(out["speaker_durations"], pa.list_(pa.float64(), 5)),
+                "text": pa.array(out["text"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
 # conversion + synthetic derivation
 # --------------------------------------------------------------------------
 

@@ -386,3 +386,90 @@ def test_band_predictor_model_path_gated():
         pass
     with pytest.raises(ImportError, match="rule-based"):
         BandPredictor(model_path="/tmp/nonexistent.joblib")
+
+
+# ----------------------------------------------------------- ALM windows
+
+
+def _seg(s, e, spk, bw=16000, text="t"):
+    return {"start": s, "end": e, "speaker": spk, "bandwidth": bw, "text": text}
+
+
+def test_build_alm_windows_basic():
+    from curator_ray.stages.audio import build_alm_windows
+
+    # two speakers alternating 30 s segments: window from segment 0 spans
+    # 4 segments = 120 s exactly
+    segs = [_seg(i * 30.0, (i + 1) * 30.0, f"spk{i % 2}") for i in range(8)]
+    wins = build_alm_windows(segs, 16000)
+    assert len(wins) > 0
+    w = wins[0]
+    assert w["window_start"] == 0.0
+    assert 108.0 <= w["window_end"] - w["window_start"] <= 132.0
+    assert w["n_segments"] >= 2
+    assert len(w["speaker_durations"]) == 5
+    assert w["speaker_durations"][2] == 0.0  # only 2 speakers -> padded
+
+    # low sample rate rejects everything (reference lost_sr path)
+    assert build_alm_windows(segs, 8000) == []
+    # single-speaker windows fail min_speakers
+    mono = [_seg(i * 30.0, (i + 1) * 30.0, "only") for i in range(8)]
+    assert build_alm_windows(mono, 16000) == []
+    # low-bandwidth segments break the window chain
+    bad_bw = [_seg(i * 30.0, (i + 1) * 30.0, f"spk{i % 2}", bw=4000) for i in range(8)]
+    assert build_alm_windows(bad_bw, 16000) == []
+    # a no-speaker region blocks windows that would span it (the reference
+    # marks unlabeled regions with the literal "no-speaker" speaker value)
+    with_gap = [
+        _seg(0.0, 50.0, "a"), _seg(50.0, 100.0, "no-speaker"), _seg(100.0, 130.0, "b"),
+    ]
+    assert build_alm_windows(with_gap, 16000) == []
+
+
+def test_build_alm_windows_word_truncation():
+    from curator_ray.stages.audio import build_alm_windows
+
+    words = [{"word": f"w{i}", "end": 100.0 + i * 5.0} for i in range(1, 7)]
+    segs = [
+        _seg(0.0, 60.0, "a"),
+        _seg(60.0, 100.0, "b"),
+        {**_seg(100.0, 160.0, "a", text="long tail"), "words": words},
+    ]
+    wins = build_alm_windows(segs, 16000, target_window_duration=120.0)
+    assert len(wins) == 1
+    w = wins[0]
+    # truncated at the last word ending <= 132 (tolerance band upper edge):
+    # w6 ends at 130 <= 132 so all six words survive, window ends there
+    assert w["window_end"] == 130.0
+    assert w["text"].endswith("w6")
+    assert w["n_segments"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_alm_window_stage_fanout():
+    import ray
+
+    from curator_ray.stages.audio import alm_window_stage
+
+    seg_type = pa.list_(
+        pa.struct(
+            [("start", pa.float64()), ("end", pa.float64()), ("speaker", pa.string()),
+             ("bandwidth", pa.int64()), ("text", pa.string())]
+        )
+    )
+    good = [
+        {"start": i * 30.0, "end": (i + 1) * 30.0, "speaker": f"s{i % 3}",
+         "bandwidth": 16000, "text": f"seg{i}"}
+        for i in range(8)
+    ]
+    rows = pa.table(
+        {
+            "audio_id": ["u1", "u2"],
+            "sample_rate": pa.array([16000, 8000], pa.int64()),
+            "segments": pa.array([good, good], seg_type),
+        }
+    )
+    out = alm_window_stage(ray.data.from_arrow(rows)).to_pandas()
+    assert set(out.audio_id) == {"u1"}  # u2 fails the sample-rate gate
+    assert (out.n_segments >= 2).all()
+    assert all(len(d) == 5 for d in out.speaker_durations)
