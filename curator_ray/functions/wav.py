@@ -85,6 +85,10 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             raw = b[off : off + min(size, len(b) - off)]
             break
     assert raw is not None  # wav_info already validated
+    if info.fmt not in (1, 3):
+        # ALAW (6), MULAW (7), ADPCM, … — decoding them via the integer-PCM
+        # branches would yield garbage samples; refuse instead.
+        raise ValueError(f"unsupported WAV format tag: {info.fmt} (only PCM=1 and IEEE float=3)")
     if info.fmt == 3:  # IEEE float
         dt = np.float32 if info.bits == 32 else np.float64
         x = np.frombuffer(raw, dtype="<" + np.dtype(dt).char).astype(np.float32)

@@ -227,7 +227,9 @@ def _write_survivors(survivors, surv_dir: str, fmt: str) -> int:
         from ..sources.tar import write_webdataset
 
         manifest = write_webdataset(survivors, surv_dir)
-        return sum(r["n_images"] for r in manifest.take_all())
+        # aggregate on-cluster: one scalar crosses to the driver, not one
+        # row per tar shard
+        return int(manifest.sum("n_images") or 0)
     survivors.write_parquet(surv_dir)
     return ray.data.read_parquet(surv_dir).count()
 

@@ -94,8 +94,13 @@ def _clean_table(retain_pncs: bool) -> dict[int, str | None]:
         t[ord(c)] = None
     if not retain_pncs:
         t[ord("-")] = None
+    # The reference's replace_with_blank pass runs BEFORE its apostrophe pass,
+    # so in the no-punct variant all of ‘’ʻ are effectively deleted; in the
+    # retain-punct variant only ’ survives to be mapped to ' (wer.py:155-169).
     for c in _APOS_CHARS:
-        t[ord(c)] = "'"
+        t[ord(c)] = None
+    if retain_pncs:
+        t[ord("’")] = "'"
     return t
 
 
@@ -283,7 +288,7 @@ BAND_DEFINITIONS = {
     "high": (13000, 14000),
     **{f"high{i}": ((i + 13) * 1000, (i + 14) * 1000) for i in range(1, 11)},
 }
-_HIGH_FREQ_CUTOFF = 8000.0
+_HIGH_FREQ_CUTOFF = 10000.0  # reference band_filter_module/features.py:23
 
 
 def band_energy_features(audio: np.ndarray, rate: int, n_fft: int = 4096) -> dict[str, float]:
@@ -638,7 +643,12 @@ class VadSegmentation:
                 dur.append((int(e) - int(a)) / 1000.0)
                 sl = audio[int(a * rate / 1000) : int(e * rate / 1000)]
                 blobs.append(encode_wav(sl, rate))
-        out = {c: pa.array(cols[c]) for c in passthrough}
+        # Build passthrough arrays with the ORIGINAL column types so that
+        # zero-segment (or all-None) batches agree on schema with
+        # segment-bearing blocks downstream.
+        out = {
+            c: pa.array(cols[c], type=batch.schema.field(c).type) for c in passthrough
+        }
         out["segment_num"] = pa.array(seg_num, pa.int64())
         out["start_ms"] = pa.array(s_ms, pa.int64())
         out["end_ms"] = pa.array(e_ms, pa.int64())

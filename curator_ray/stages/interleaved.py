@@ -80,7 +80,7 @@ def _repair_samples(batch: pa.Table, keep: np.ndarray) -> pa.Table:
     if len(kept) == 0:
         return kept
     kept = kept.sort_by([("sample_id", "ascending"), ("position", "ascending")])
-    sample = np.asarray(kept.column("sample_id").to_pandas(), dtype=object)
+    sample = np.asarray(kept.column("sample_id").to_pylist(), dtype=object)
     modality = kept.column("modality").to_numpy(zero_copy_only=False)
     position = kept.column("position").to_numpy(zero_copy_only=False).copy()
     content = modality != "metadata"

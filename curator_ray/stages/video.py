@@ -110,7 +110,17 @@ def fixed_stride_clip_stage(
     ``FixedStrideExtractorStage.process``, ``clip_extraction_stages.py:
     390-420``): bounds ``[i*stride, min(i*stride + len, duration))`` for
     every start strictly inside the video, keeping clips at least
-    ``min_clip_length_s`` long; ``limit_clips`` caps clips per video.
+    ``min_clip_length_s`` long.
+
+    ``limit_clips`` is a DELIBERATE REINTERPRETATION for the columnar model:
+    the reference uses it only to skip videos whose ``video.clips`` list
+    already holds >= limit entries (a re-run guard against its mutable task
+    objects, ``clip_extraction_stages.py:380-382``) and otherwise emits every
+    bound. Columnar rows carry no pre-existing clip list, so that guard is
+    vacuous here; instead ``limit_clips > 0`` caps the clips *emitted* per
+    video, which is the useful analogue (and a no-op at the reference's
+    default ``limit_clips=0``).
+
     ``clip_id`` is the reference's deterministic identity string
     ``{video}_{start_frame}_{end_frame}`` (frame indices at the parsed
     framerate); ``clip_uuid`` is its uuid5 like the reference's

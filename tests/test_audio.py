@@ -136,7 +136,13 @@ def test_error_rate_detail_wer():
 def test_clean_text_matches_reference_rules():
     assert clean_text("Hello—World: A_B/C") == "hello—world a b c"
     assert clean_text('He said "YES"', retain_pncs=True) == "He said YES"
-    assert clean_text("don’t") == "don't"
+    # the reference's replace_with_blank pass runs before its apostrophe pass,
+    # so curly apostrophes are deleted in the no-punct variant …
+    assert clean_text("don’t") == "dont"
+    assert clean_text("ʻokina ‘quote") == "okina quote"
+    # … but retained (as ASCII ') for U+2019 in the punct-retaining variant
+    assert clean_text("don’t", retain_pncs=True) == "don't"
+    assert clean_text("ʻokina", retain_pncs=True) == "okina"
 
 
 # ----------------------------------------------------------- bandwidth
