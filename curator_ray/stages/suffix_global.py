@@ -12,24 +12,45 @@ cross-partition completion of ``functions/suffix_array.py`` (reference
 semantics: Lee et al. 2022, "Deduplicating Training Data Makes Language
 Models Better"; per-partition SA+LCP lives in functions/suffix_array.py).
 
+Row layout (round-4 slimming)
+-----------------------------
+Documents are first given DENSE indices 0..n_docs-1 (per-block offsets
+computed on the driver from O(blocks) summary rows — the same pattern as
+``_global_run_info`` below), and every suffix identity is packed into ONE
+int64 ``pos = (doc_idx << off_bits) | off`` where ``off_bits`` is sized
+from the corpus' longest document.  Tag bits ride inside the sort keys:
+
+* message rows:   ``posk = pos << 1 | kind``            (16 B: posk, rank)
+* suffix rows:    ``(pos, rank)``                        (16 B)
+* paired rows:    ``(pos, rankm = rank << 1 | miss, next)``  (24 B)
+
+vs the round-3 layout (doc, off, rank[, kind, next, miss, bnd] — 25-35 B)
+this is ~1.6x fewer sorted bytes per round and 3 sort keys instead of 5,
+which is what moves the single-box object-store spill knee (PERF.md size
+sweep) out.  Ascending int64 order of ``pos``/``posk``/``rankm`` equals
+the old multi-column lexicographic order, so the algorithm is unchanged.
+Boundary rows reuse the ``next`` column as a sentinel (``next = -1 - kind``
+< 0; real rows always have ``next >= 0``), so no extra flag column exists.
+
 Algorithm
 ---------
-A row per suffix: ``(doc, off, rank)`` where ``rank`` initially packs the
+A row per suffix: ``(pos, rank)`` where ``rank`` initially packs the
 ``_K0`` (=7) bytes at ``off`` (positions with fewer remaining bytes cannot
 start nor serve any K>=8 comparison and are never emitted).  Each round
 extends the compared prefix from L to L+k (k <= L, schedule reaches K
 exactly):
 
 1. every row sends its rank to the position k before it
-   (``(doc, off-k, kind=1, rank)``) and itself as ``kind=0``;
-2. one ``sort([doc, off, kind])`` + a vectorized pair scan joins the two
-   messages into ``(doc, off, rank, next, miss)``; a row whose target is
-   absent gets ``miss=1, next=doc`` — a per-document marker, so two
-   truncated suffixes from different documents can never compare equal
-   (the unique-sentinel construction of the classic concatenated SA);
-3. one ``sort([rank, miss, next, doc, off])`` + a two-pass run-numbering
-   scan assigns ``new rank = global index of the run's first row`` and
-   PRUNES: rows in singleton runs and rows with ``miss=1`` are dropped.
+   (``posk = (pos - k) << 1 | 1``) and itself as kind=0 (``pos << 1``);
+2. one ``sort([posk])`` + a vectorized pair scan joins the two messages
+   into ``(pos, rankm, next)``; a row whose target is absent gets
+   ``miss=1`` (low bit of rankm) and ``next = doc_idx`` — a per-document
+   marker, so two truncated suffixes from different documents can never
+   compare equal (the unique-sentinel construction of the classic
+   concatenated SA);
+3. one ``sort([rankm, next, pos])`` + a two-pass run-numbering scan
+   assigns ``new rank = global index of the run's first row`` and PRUNES:
+   rows in singleton runs and rows with miss=1 are dropped.
 
 Pruning is exact: if suffixes p, p' (different docs) share >= K bytes,
 then at every round their lookup targets p+k, p'+k share >= L bytes, so
@@ -38,14 +59,17 @@ whole chain of rows a true match needs survives every prune.  Everything
 else shrinks to the duplicate mass after a couple of rounds, so later
 sorts touch only near-duplicate text, not the corpus.
 
-After the last round, rows with equal (rank, miss=0, next) share exactly
+After the last round, rows with equal (rankm even, next) share exactly
 >= K bytes; the final run scan emits star edges between the distinct
 documents of each run (or all pairs in ``emit="pairs"`` verification
 mode), boundary runs resolved on the driver from O(2/block) rows like
-every other sort-scan in this repo (see cc.sorted_group_min).
+every other sort-scan in this repo (see cc.sorted_group_min).  Edges are
+emitted in dense-index space and translated back to the caller's doc ids
+at the end: a zero-copy plasma lookup table for corpora up to
+``_BROADCAST_DOCS_MAX`` docs, a distributed hash join above it.
 
 Scale notes: per round = 2 Dataset sorts; round-1 volume is O(total
-bytes) rows of 25 B, after which pruning collapses the table.  All
+bytes) rows of 16 B, after which pruning collapses the table.  All
 driver work is O(blocks) per round.  For 100 TB corpora run the winnowed
 stage first (or instead); this stage is the exact verifier / exact path
 for corpora whose duplicate mass fits the shuffle budget.
@@ -73,14 +97,90 @@ from ..functions.shingles import _string_array_buffers
 # >= _K0 bytes remaining, so none of its rows are dropped at emit.
 _K0 = 7
 
+# Largest corpus (docs) whose dense-index -> doc-id lookup is shipped as one
+# zero-copy plasma numpy array (8 B/doc: 8M docs = 64 MB, read shared per
+# node); beyond it the translation is a distributed hash join.
+_BROADCAST_DOCS_MAX = 8_000_000
+
 
 # ---------------------------------------------------------------------------
-# round 0: emit one row per suffix with a packed 7-byte initial rank
+# dense doc indexing: per-block offsets from O(blocks) driver rows
+# ---------------------------------------------------------------------------
+
+_DOC_SUMMARY_COLS = ["f_id", "n_rows", "max_len"]
+
+
+def _doc_block_summary(batch: pa.Table, *, text_field: str, id_field: str) -> pa.Table:
+    """One row per block: first doc id (unique — ids are unique), row count,
+    longest text in bytes.  Driver input for dense index assignment."""
+    n = len(batch)
+    if n == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in _DOC_SUMMARY_COLS})
+    col = batch.column(text_field)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    _, offsets = _string_array_buffers(col)
+    max_len = int((offsets[1:] - offsets[:-1]).max()) if n else 0
+    return pa.table(
+        {
+            "f_id": pa.array([int(batch.column(id_field)[0].as_py())], pa.int64()),
+            "n_rows": pa.array([n], pa.int64()),
+            "max_len": pa.array([max_len], pa.int64()),
+        }
+    )
+
+
+def _plan_index(summaries: pa.Table) -> tuple[dict, int, int]:
+    """Driver: assign each block a dense base index (blocks ordered by first
+    doc id) and size the in-document offset field.  Returns
+    ``({first_id: base_idx}, off_bits, n_docs)``."""
+    f_id = summaries.column("f_id").to_numpy()
+    n_rows = summaries.column("n_rows").to_numpy()
+    max_len = int(summaries.column("max_len").to_numpy().max()) if len(f_id) else 0
+    order = np.argsort(f_id, kind="stable")
+    bases = np.cumsum(n_rows[order]) - n_rows[order]
+    n_docs = int(n_rows.sum())
+    off_bits = max(1, int(max_len).bit_length())
+    doc_bits = max(1, (max(n_docs - 1, 0)).bit_length())
+    if doc_bits + off_bits > 62:  # pos << 1 must stay positive in int64
+        raise ValueError(
+            f"corpus too large for packed suffix rows: {n_docs} docs "
+            f"({doc_bits} bits) x {max_len} B max doc ({off_bits} bits) > 62 bits"
+        )
+    info = {int(f_id[order[i]]): int(bases[i]) for i in range(len(f_id))}
+    return info, off_bits, n_docs
+
+
+def _doc_mapping(batch: pa.Table, *, id_field: str, info_ref) -> pa.Table:
+    """(idx, id) rows for translating final edges back to caller doc ids."""
+    import ray
+
+    info = ray.get(info_ref) if not isinstance(info_ref, dict) else info_ref
+    if len(batch) == 0:
+        return pa.table({"idx": pa.array([], pa.int64()), "id": pa.array([], pa.int64())})
+    base = info[int(batch.column(id_field)[0].as_py())]
+    return pa.table(
+        {
+            "idx": pa.array(base + np.arange(len(batch), dtype=np.int64), pa.int64()),
+            "id": batch.column(id_field).cast(pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 0: one row per suffix — pos = (doc_idx << off_bits) | off
 # ---------------------------------------------------------------------------
 
 
-def _emit_positions(batch: pa.Table, *, text_field: str, id_field: str) -> pa.Table:
-    ids = batch.column(id_field).to_numpy()
+def _emit_positions(
+    batch: pa.Table, *, text_field: str, id_field: str, off_bits: int, info_ref
+) -> pa.Table:
+    import ray
+
+    if len(batch) == 0:
+        return _EMPTY_ROWS
+    info = ray.get(info_ref) if not isinstance(info_ref, dict) else info_ref
+    base = info[int(batch.column(id_field)[0].as_py())]
     col = batch.column(text_field)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -90,7 +190,8 @@ def _emit_positions(batch: pa.Table, *, text_field: str, id_field: str) -> pa.Ta
     total = int(npos.sum())
     if total == 0:
         return _EMPTY_ROWS
-    doc = np.repeat(ids, npos)
+    idx = base + np.arange(len(batch), dtype=np.int64)
+    doc = np.repeat(idx, npos)
     # in-doc offsets 0..len-_K0 for every doc, one flat arange
     starts = np.cumsum(npos) - npos
     off = np.arange(total, dtype=np.int64) - np.repeat(starts, npos)
@@ -103,94 +204,62 @@ def _emit_positions(batch: pa.Table, *, text_field: str, id_field: str) -> pa.Ta
         rank |= data[flat + b]
     return pa.table(
         {
-            "doc": pa.array(doc, pa.int64()),
-            "off": pa.array(off, pa.int64()),
+            "pos": pa.array((doc << off_bits) | off, pa.int64()),
             "rank": pa.array(rank, pa.int64()),
         }
     )
 
 
-_EMPTY_ROWS = pa.table(
-    {
-        "doc": pa.array([], pa.int64()),
-        "off": pa.array([], pa.int64()),
-        "rank": pa.array([], pa.int64()),
-    }
-)
+_EMPTY_ROWS = pa.table({"pos": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())})
 
 
 # ---------------------------------------------------------------------------
-# step 1: message emission  (doc, off, kind, rank)
+# step 1: message emission  (posk = pos << 1 | kind, rank)
 # ---------------------------------------------------------------------------
 
 
-def _emit_messages(batch: pa.Table, *, k: int) -> pa.Table:
-    doc = batch.column("doc").to_numpy()
-    off = batch.column("off").to_numpy()
+def _emit_messages(batch: pa.Table, *, k: int, off_bits: int) -> pa.Table:
+    pos = batch.column("pos").to_numpy()
     rank = batch.column("rank").to_numpy()
-    n = len(doc)
-    keep = off >= k  # kind-1 message targets (doc, off-k); negative targets drop
-    m = int(keep.sum())
-    out_doc = np.concatenate([doc, doc[keep]])
-    out_off = np.concatenate([off, off[keep] - k])
-    out_kind = np.zeros(n + m, dtype=np.int8)
-    out_kind[n:] = 1
+    off = pos & ((np.int64(1) << off_bits) - 1)
+    keep = off >= k  # kind-1 message targets pos-k (same doc); negative targets drop
+    posk = np.concatenate([pos << 1, ((pos[keep] - k) << 1) | 1])
     out_rank = np.concatenate([rank, rank[keep]])
     return pa.table(
-        {
-            "doc": pa.array(out_doc, pa.int64()),
-            "off": pa.array(out_off, pa.int64()),
-            "kind": pa.array(out_kind, pa.int8()),
-            "rank": pa.array(out_rank, pa.int64()),
-        }
+        {"posk": pa.array(posk, pa.int64()), "rank": pa.array(out_rank, pa.int64())}
     )
 
 
 # ---------------------------------------------------------------------------
-# step 2: pair scan over sort([doc, off, kind])
+# step 2: pair scan over sort([posk])
 # ---------------------------------------------------------------------------
 
-_PAIR_SCHEMA = pa.schema(
-    [
-        ("doc", pa.int64()),
-        ("off", pa.int64()),
-        ("rank", pa.int64()),
-        ("next", pa.int64()),
-        ("miss", pa.int8()),
-        ("bnd", pa.int8()),
-        ("kind", pa.int8()),
-    ]
-)
+_PAIR_SCHEMA = pa.schema([("pos", pa.int64()), ("rankm", pa.int64()), ("next", pa.int64())])
 
 
-def _pair_table(doc, off, rank, nxt, miss, bnd=None, kind=None) -> pa.Table:
-    n = len(doc)
+def _pair_table(pos, rankm, nxt) -> pa.Table:
     return pa.table(
         {
-            "doc": pa.array(doc, pa.int64()),
-            "off": pa.array(off, pa.int64()),
-            "rank": pa.array(rank, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "rankm": pa.array(rankm, pa.int64()),
             "next": pa.array(nxt, pa.int64()),
-            "miss": pa.array(miss, pa.int8()),
-            "bnd": pa.array(bnd if bnd is not None else np.zeros(n, np.int8), pa.int8()),
-            "kind": pa.array(kind if kind is not None else np.full(n, -1, np.int8), pa.int8()),
         }
     )
 
 
-def _scan_pairs(batch: pa.Table) -> pa.Table:
-    """Per sorted block: join adjacent (kind=0, kind=1) rows with equal
-    (doc, off).  The block's first row (if an unpaired kind-1) and last row
-    (if an unpaired kind-0) may have their partner in a neighbor block and
-    are re-emitted raw with ``bnd=1`` for the driver to resolve."""
+def _scan_pairs(batch: pa.Table, *, off_bits: int) -> pa.Table:
+    """Per sorted block: join adjacent (kind=0, kind=1) rows with equal pos.
+    The block's first row (if an unpaired kind-1) and last row (if an
+    unpaired kind-0) may have their partner in a neighbor block and are
+    re-emitted raw with ``next = -1 - kind`` for the driver to resolve."""
     n = len(batch)
     if n == 0:
         return _PAIR_SCHEMA.empty_table()
-    doc = batch.column("doc").to_numpy()
-    off = batch.column("off").to_numpy()
-    kind = batch.column("kind").to_numpy()
+    posk = batch.column("posk").to_numpy()
     rank = batch.column("rank").to_numpy()
-    same = (doc[1:] == doc[:-1]) & (off[1:] == off[:-1])
+    pos = posk >> 1
+    kind = (posk & 1).astype(np.int8)
+    same = pos[1:] == pos[:-1]
     lead = np.flatnonzero(same)  # kind-0 row index of each local pair
     paired = np.zeros(n, dtype=bool)
     paired[lead] = True
@@ -205,63 +274,55 @@ def _scan_pairs(batch: pa.Table) -> pa.Table:
     lone = (~paired) & (~boundary) & (kind == 0)
     li = np.flatnonzero(lone)
     parts = [
-        _pair_table(doc[lead], off[lead], rank[lead], rank[lead + 1], np.zeros(len(lead), np.int8)),
-        _pair_table(doc[li], off[li], rank[li], doc[li], np.ones(len(li), np.int8)),
+        _pair_table(pos[lead], rank[lead] << 1, rank[lead + 1]),
+        _pair_table(pos[li], (rank[li] << 1) | 1, pos[li] >> off_bits),
     ]
     bi = np.flatnonzero(boundary)
     if len(bi):
-        parts.append(
-            _pair_table(
-                doc[bi], off[bi], rank[bi], np.zeros(len(bi), np.int64),
-                np.zeros(len(bi), np.int8), np.ones(len(bi), np.int8), kind[bi],
-            )
-        )
+        parts.append(_pair_table(pos[bi], rank[bi] << 1, -1 - kind[bi].astype(np.int64)))
     return pa.concat_tables(parts)
 
 
-def _resolve_pair_boundary(btbl: pa.Table) -> pa.Table:
+def _resolve_pair_boundary(btbl: pa.Table, *, off_bits: int) -> pa.Table:
     """Driver merge of O(2/block) raw boundary rows: same pair logic over the
     globally re-sorted remainder.  Unpaired kind-1 rows (their kind-0 base was
     pruned) drop; unpaired kind-0 rows miss."""
     n = len(btbl)
     if n == 0:
-        return _PAIR_SCHEMA.empty_table().select(["doc", "off", "rank", "next", "miss"])
-    doc = btbl.column("doc").to_numpy()
-    off = btbl.column("off").to_numpy()
-    kind = btbl.column("kind").to_numpy()
-    rank = btbl.column("rank").to_numpy()
-    order = np.lexsort((kind, off, doc))
-    doc, off, kind, rank = doc[order], off[order], kind[order], rank[order]
-    same = (doc[1:] == doc[:-1]) & (off[1:] == off[:-1])
+        return _PAIR_SCHEMA.empty_table()
+    pos = btbl.column("pos").to_numpy()
+    rank = btbl.column("rankm").to_numpy() >> 1
+    kind = (-(btbl.column("next").to_numpy() + 1)).astype(np.int8)
+    order = np.lexsort((kind, pos))
+    pos, kind, rank = pos[order], kind[order], rank[order]
+    same = pos[1:] == pos[:-1]
     lead = np.flatnonzero(same)
     paired = np.zeros(n, dtype=bool)
     paired[lead] = True
     paired[lead + 1] = True
     lone = (~paired) & (kind == 0)
     li = np.flatnonzero(lone)
-    out = pa.concat_tables(
+    return pa.concat_tables(
         [
-            _pair_table(doc[lead], off[lead], rank[lead], rank[lead + 1], np.zeros(len(lead), np.int8)),
-            _pair_table(doc[li], off[li], rank[li], doc[li], np.ones(len(li), np.int8)),
+            _pair_table(pos[lead], rank[lead] << 1, rank[lead + 1]),
+            _pair_table(pos[li], (rank[li] << 1) | 1, pos[li] >> off_bits),
         ]
     )
-    return out.select(["doc", "off", "rank", "next", "miss"])
 
 
 # ---------------------------------------------------------------------------
-# step 3: run numbering + pruning over sort([rank, miss, next, doc, off])
+# step 3: run numbering + pruning over sort([rankm, next, pos])
 # ---------------------------------------------------------------------------
 
 
 def _run_layout(batch: pa.Table):
-    rank = batch.column("rank").to_numpy()
-    miss = batch.column("miss").to_numpy()
+    rankm = batch.column("rankm").to_numpy()
     nxt = batch.column("next").to_numpy()
-    change = np.zeros(len(rank), dtype=bool)
+    change = np.zeros(len(rankm), dtype=bool)
     change[0] = True
-    change[1:] = (rank[1:] != rank[:-1]) | (miss[1:] != miss[:-1]) | (nxt[1:] != nxt[:-1])
+    change[1:] = (rankm[1:] != rankm[:-1]) | (nxt[1:] != nxt[:-1])
     starts = np.flatnonzero(change)
-    sizes = np.diff(np.append(starts, len(rank)))
+    sizes = np.diff(np.append(starts, len(rankm)))
     return starts, sizes
 
 
@@ -279,7 +340,7 @@ def _block_summary(batch: pa.Table) -> pa.Table:
         "last_run_start": int(starts[-1]),
         "last_run_len": int(sizes[-1]),
     }
-    for c in ("rank", "miss", "next", "doc", "off"):
+    for c in ("rankm", "next", "pos"):
         col = batch.column(c).to_numpy()
         vals[f"f_{c}"] = int(col[0])
         vals[f"l_{c}"] = int(col[n - 1])
@@ -288,37 +349,35 @@ def _block_summary(batch: pa.Table) -> pa.Table:
 
 _SUMMARY_COLS = [
     "n_rows", "n_runs", "first_run_len", "last_run_start", "last_run_len",
-    "f_rank", "f_miss", "f_next", "f_doc", "f_off",
-    "l_rank", "l_miss", "l_next", "l_doc", "l_off",
+    "f_rankm", "f_next", "f_pos",
+    "l_rankm", "l_next", "l_pos",
 ]
 
 
 def _global_run_info(summaries: pa.Table) -> dict:
-    """Order blocks by first-row key (unique: includes (doc, off)), walk the
-    chain of runs spanning block boundaries, and return per-block:
+    """Order blocks by first-row key (unique: includes pos), walk the chain
+    of runs spanning block boundaries, and return per-block:
     ``first-row key -> (row_offset, f_start, f_total, l_start, l_total)``."""
     cols = {c: summaries.column(c).to_numpy() for c in _SUMMARY_COLS}
     nb = len(summaries)
-    order = np.lexsort(
-        (cols["f_off"], cols["f_doc"], cols["f_next"], cols["f_miss"], cols["f_rank"])
-    )
+    order = np.lexsort((cols["f_pos"], cols["f_next"], cols["f_rankm"]))
     blocks = [{c: int(cols[c][i]) for c in _SUMMARY_COLS} for i in order]
     info: dict = {}
     open_run = None
     offset = 0
     per_block = []
     for b in blocks:
-        key3 = (b["f_rank"], b["f_miss"], b["f_next"])
-        if open_run is not None and open_run["key"] == key3:
+        key2 = (b["f_rankm"], b["f_next"])
+        if open_run is not None and open_run["key"] == key2:
             frun = open_run
         else:
-            frun = {"key": key3, "start": offset, "size": 0}
+            frun = {"key": key2, "start": offset, "size": 0}
         frun["size"] += b["first_run_len"]
         if b["n_runs"] == 1:
             lrun = frun
         else:
             lrun = {
-                "key": (b["l_rank"], b["l_miss"], b["l_next"]),
+                "key": (b["l_rankm"], b["l_next"]),
                 "start": offset + b["last_run_start"],
                 "size": b["last_run_len"],
             }
@@ -326,14 +385,14 @@ def _global_run_info(summaries: pa.Table) -> dict:
         per_block.append((b, offset, frun, lrun))
         offset += b["n_rows"]
     for b, off0, frun, lrun in per_block:
-        bkey = (b["f_rank"], b["f_miss"], b["f_next"], b["f_doc"], b["f_off"])
+        bkey = (b["f_rankm"], b["f_next"], b["f_pos"])
         info[bkey] = (off0, frun["start"], frun["size"], lrun["start"], lrun["size"])
-    assert len(info) == nb  # first-row keys are unique (doc, off) rows
+    assert len(info) == nb  # first-row keys are unique (pos is unique)
     return info
 
 
 def _block_info(batch: pa.Table, info: dict):
-    bkey = tuple(int(batch.column(c)[0].as_py()) for c in ("rank", "miss", "next", "doc", "off"))
+    bkey = tuple(int(batch.column(c)[0].as_py()) for c in ("rankm", "next", "pos"))
     return info[bkey]
 
 
@@ -356,11 +415,11 @@ def _assign_ranks(batch: pa.Table, *, info_ref) -> pa.Table:
         g_starts[-1] = l_start
     run_of = np.repeat(np.arange(len(starts)), sizes)
     new_rank = g_starts[run_of]
-    keep = (batch.column("miss").to_numpy() == 0) & (totals[run_of] >= 2)
+    miss = batch.column("rankm").to_numpy() & 1
+    keep = (miss == 0) & (totals[run_of] >= 2)
     return pa.table(
         {
-            "doc": pa.array(batch.column("doc").to_numpy()[keep], pa.int64()),
-            "off": pa.array(batch.column("off").to_numpy()[keep], pa.int64()),
+            "pos": pa.array(batch.column("pos").to_numpy()[keep], pa.int64()),
             "rank": pa.array(new_rank[keep], pa.int64()),
         }
     )
@@ -405,7 +464,7 @@ def _all_pairs(x: np.ndarray, run_of: np.ndarray):
     return x[base + r], np.repeat(x, j)
 
 
-def _emit_edges(batch: pa.Table, *, info_ref, mode: str) -> pa.Table:
+def _emit_edges(batch: pa.Table, *, info_ref, mode: str, off_bits: int) -> pa.Table:
     """Final pass 2: per kept run (miss=0, global size >= 2) emit edges among
     its distinct docs.  Runs touching a block edge also emit (gkey=global run
     start, doc) representative rows; in ``pairs`` mode they emit their FULL
@@ -426,14 +485,14 @@ def _emit_edges(batch: pa.Table, *, info_ref, mode: str) -> pa.Table:
     if nruns > 1:
         g_starts[-1] = l_start
     run_of = np.repeat(np.arange(nruns), sizes)
-    doc = batch.column("doc").to_numpy()
-    miss = batch.column("miss").to_numpy()
-    # runs are homogeneous in (rank, miss, next) — the sort key
+    doc = batch.column("pos").to_numpy() >> off_bits
+    miss = batch.column("rankm").to_numpy() & 1
+    # runs are homogeneous in (rankm, next) — the sort key
     run_kept = (miss[starts] == 0) & (totals >= 2)
     spans_edge = np.zeros(nruns, dtype=bool)
     spans_edge[0] = totals[0] != sizes[0]
     spans_edge[-1] |= totals[-1] != sizes[-1]
-    # distinct docs per kept run (rows sorted by doc within a run)
+    # distinct docs per kept run (rows sorted by pos, hence by doc, in a run)
     new_doc = np.zeros(len(doc), dtype=bool)
     new_doc[starts] = True
     new_doc[1:] |= (doc[1:] != doc[:-1]) & (run_of[1:] == run_of[:-1])
@@ -497,25 +556,85 @@ def _resolve_edge_boundary(btbl: pa.Table, mode: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# edge translation: dense idx -> caller doc ids
+# ---------------------------------------------------------------------------
+
+
+def _lookup_edges(batch: pa.Table, *, table_ref) -> pa.Table:
+    import ray
+
+    id_of = ray.get(table_ref) if not isinstance(table_ref, np.ndarray) else table_ref
+    return pa.table(
+        {
+            "src": pa.array(id_of[batch.column("src").to_numpy()], pa.int64()),
+            "dst": pa.array(id_of[batch.column("dst").to_numpy()], pa.int64()),
+        }
+    )
+
+
+def _translate_edges(edges, mapping, n_docs: int):
+    """Map (src, dst) dense indices back to caller doc ids.  Small corpora:
+    one plasma-shared numpy lookup (zero-copy read per worker).  Large:
+    distributed hash join against the (idx, id) mapping Dataset."""
+    import ray
+
+    if n_docs <= _BROADCAST_DOCS_MAX:
+        from .cc import _collect_small
+
+        mtbl = _collect_small(mapping, ["idx", "id"])
+        id_of = np.zeros(n_docs, dtype=np.int64)
+        id_of[mtbl.column("idx").to_numpy()] = mtbl.column("id").to_numpy()
+        table_ref = ray.put(id_of)
+        return edges.map_batches(
+            functools.partial(_lookup_edges, table_ref=table_ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    # hash-shuffle aggregator actors are per-partition: keep the floor tiny so
+    # small clusters don't deadlock on actor resources, scale with corpus size
+    nparts = max(2, min(512, n_docs // 4_000_000))
+    out = edges.join(
+        mapping, "inner", num_partitions=nparts, on=("src",), right_on=("idx",)
+    )
+    out = out.map_batches(
+        lambda b: pa.table({"src": b.column("id"), "dst": b.column("dst")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = out.join(mapping, "inner", num_partitions=nparts, on=("dst",), right_on=("idx",))
+    return out.map_batches(
+        lambda b: pa.table({"src": b.column("src"), "dst": b.column("id")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
 
-def _round(rows, k: int, *, final: bool, mode: str):
+def _round(rows, k: int, *, final: bool, mode: str, off_bits: int):
     """One doubling round: extend compared prefixes by k bytes.  Two Dataset
     sorts; all driver work O(blocks).  Returns (rows | edges) Dataset."""
     import ray
 
     msgs = rows.map_batches(
-        functools.partial(_emit_messages, k=k), batch_format="pyarrow", zero_copy_batch=True
+        functools.partial(_emit_messages, k=k, off_bits=off_bits),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     scanned = (
-        msgs.sort(["doc", "off", "kind"])
-        .map_batches(_scan_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        msgs.sort(["posk"])
+        .map_batches(
+            functools.partial(_scan_pairs, off_bits=off_bits),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .materialize()
     )
     interior = scanned.map_batches(
-        lambda b: b.filter(pc.equal(b.column("bnd"), 0)).select(["doc", "off", "rank", "next", "miss"]),
+        lambda b: b.filter(pc.greater_equal(b.column("next"), 0)),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -523,15 +642,15 @@ def _round(rows, k: int, *, final: bool, mode: str):
 
     btbl = _collect_small(
         scanned.map_batches(
-            lambda b: b.filter(pc.equal(b.column("bnd"), 1)),
+            lambda b: b.filter(pc.less(b.column("next"), 0)),
             batch_format="pyarrow",
             zero_copy_batch=True,
         ),
-        ["doc", "off", "rank", "next", "kind"],
+        ["pos", "rankm", "next"],
     )
-    resolved = _resolve_pair_boundary(btbl)
+    resolved = _resolve_pair_boundary(btbl, off_bits=off_bits)
     paired = interior.union(ray.data.from_arrow(resolved))
-    ranked = paired.sort(["rank", "miss", "next", "doc", "off"]).materialize()
+    ranked = paired.sort(["rankm", "next", "pos"]).materialize()
     summaries = _collect_small(
         ranked.map_batches(_block_summary, batch_format="pyarrow", zero_copy_batch=True),
         _SUMMARY_COLS,
@@ -546,7 +665,7 @@ def _round(rows, k: int, *, final: bool, mode: str):
             zero_copy_batch=True,
         )
     edges = ranked.map_batches(
-        functools.partial(_emit_edges, info_ref=info_ref, mode=mode),
+        functools.partial(_emit_edges, info_ref=info_ref, mode=mode, off_bits=off_bits),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
@@ -575,6 +694,9 @@ def _schedule(k_target: int) -> list[int]:
     return steps
 
 
+_EMPTY_EDGES = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+
+
 def suffix_array_candidate_edges(
     ds,
     min_match_length: int = 40,
@@ -589,21 +711,44 @@ def suffix_array_candidate_edges(
     assert min_match_length >= 8, "suffix-array stage needs min_match_length >= 8"
     import ray
 
-    rows = ds.map_batches(
-        functools.partial(_emit_positions, text_field=text_field, id_field=id_field),
+    docs = ds.select_columns([id_field, text_field]).materialize()
+    from .cc import _collect_small
+
+    summaries = _collect_small(
+        docs.map_batches(
+            functools.partial(_doc_block_summary, text_field=text_field, id_field=id_field),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        _DOC_SUMMARY_COLS,
+    )
+    if len(summaries) == 0:
+        return ray.data.from_arrow(_EMPTY_EDGES)
+    info, off_bits, n_docs = _plan_index(summaries)
+    info_ref = ray.put(info)
+    rows = docs.map_batches(
+        functools.partial(
+            _emit_positions,
+            text_field=text_field,
+            id_field=id_field,
+            off_bits=off_bits,
+            info_ref=info_ref,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    mapping = docs.map_batches(
+        functools.partial(_doc_mapping, id_field=id_field, info_ref=info_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     steps = _schedule(min_match_length)
-    empty = ray.data.from_arrow(
-        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-    )
     for i, k in enumerate(steps):
         final = i == len(steps) - 1
-        rows = _round(rows, k, final=final, mode=emit)
+        rows = _round(rows, k, final=final, mode=emit, off_bits=off_bits)
         if rows is None:
-            return empty
-    return rows
+            return ray.data.from_arrow(_EMPTY_EDGES)
+    return _translate_edges(rows, mapping, n_docs)
 
 
 def suffix_array_pair_table(ds, min_match_length: int = 40, text_field: str = "text", id_field: str = "_id") -> pa.Table:

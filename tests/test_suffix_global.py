@@ -85,33 +85,59 @@ def _sorted(t: pa.Table, keys):
 
 def simulate(texts, ids, k_target, bs, mode):
     base = pa.table({"caption": pa.array(texts), "_id": pa.array(ids, pa.int64())})
-    rows = sg._emit_positions(base, text_field="caption", id_field="_id")
+    dblocks = _split(base, bs)
+    summaries = pa.concat_tables(
+        [sg._doc_block_summary(b, text_field="caption", id_field="_id") for b in dblocks]
+        or [sg._doc_block_summary(base.slice(0, 0), text_field="caption", id_field="_id")]
+    )
+    if summaries.num_rows == 0:
+        return set()
+    info0, off_bits, n_docs = sg._plan_index(summaries)
+    rows = pa.concat_tables(
+        [
+            sg._emit_positions(
+                b, text_field="caption", id_field="_id", off_bits=off_bits, info_ref=info0
+            )
+            for b in dblocks
+        ]
+    )
+    mapping = pa.concat_tables(
+        [sg._doc_mapping(b, id_field="_id", info_ref=info0) for b in dblocks]
+    )
+    id_of = np.zeros(n_docs, np.int64)
+    id_of[mapping.column("idx").to_numpy()] = mapping.column("id").to_numpy()
     steps = sg._schedule(k_target)
     for i, k in enumerate(steps):
         final = i == len(steps) - 1
-        msgs = pa.concat_tables([sg._emit_messages(b, k=k) for b in _split(rows, bs)] or [sg._emit_messages(sg._EMPTY_ROWS, k=k)])
-        blocks = _split(_sorted(msgs, ["doc", "off", "kind"]), bs)
-        scanned = [sg._scan_pairs(b) for b in blocks]
-        interior = [s.filter(pc.equal(s.column("bnd"), 0)).select(["doc", "off", "rank", "next", "miss"]) for s in scanned]
-        btbl = pa.concat_tables(
-            [s.filter(pc.equal(s.column("bnd"), 1)).select(["doc", "off", "rank", "next", "kind"]) for s in scanned]
-            or [sg._PAIR_SCHEMA.empty_table().select(["doc", "off", "rank", "next", "kind"])]
+        msgs = pa.concat_tables(
+            [sg._emit_messages(b, k=k, off_bits=off_bits) for b in _split(rows, bs)]
+            or [sg._emit_messages(sg._EMPTY_ROWS, k=k, off_bits=off_bits)]
         )
-        paired = pa.concat_tables(interior + [sg._resolve_pair_boundary(btbl)])
+        blocks = _split(_sorted(msgs, ["posk"]), bs)
+        scanned = [sg._scan_pairs(b, off_bits=off_bits) for b in blocks]
+        interior = [s.filter(pc.greater_equal(s.column("next"), 0)) for s in scanned]
+        btbl = pa.concat_tables(
+            [s.filter(pc.less(s.column("next"), 0)) for s in scanned]
+            or [sg._PAIR_SCHEMA.empty_table()]
+        )
+        paired = pa.concat_tables(interior + [sg._resolve_pair_boundary(btbl, off_bits=off_bits)])
         if paired.num_rows == 0:
             return set()
-        rblocks = _split(_sorted(paired, ["rank", "miss", "next", "doc", "off"]), bs)
+        rblocks = _split(_sorted(paired, ["rankm", "next", "pos"]), bs)
         info = sg._global_run_info(pa.concat_tables([sg._block_summary(b) for b in rblocks]))
         if not final:
             rows = pa.concat_tables([sg._assign_ranks(b, info_ref=info) for b in rblocks])
             if rows.num_rows == 0:
                 return set()
         else:
-            et = pa.concat_tables([sg._emit_edges(b, info_ref=info, mode=mode) for b in rblocks])
+            et = pa.concat_tables(
+                [sg._emit_edges(b, info_ref=info, mode=mode, off_bits=off_bits) for b in rblocks]
+            )
             local = et.filter(pc.equal(et.column("bnd"), 0))
             bedges = sg._resolve_edge_boundary(et.filter(pc.equal(et.column("bnd"), 1)), mode)
             src = np.concatenate([local.column("src").to_numpy(), bedges.column("src").to_numpy()])
             dst = np.concatenate([local.column("dst").to_numpy(), bedges.column("dst").to_numpy()])
+            src, dst = id_of[src], id_of[dst]
             return set(zip(np.minimum(src, dst).tolist(), np.maximum(src, dst).tolist()))
     return set()
 
@@ -243,3 +269,22 @@ def test_ray_no_duplicates_returns_empty(ray_session):
         _ray_ds(texts, [1, 2, 3], 2), min_match_length=12, text_field="caption", id_field="_id"
     )
     assert t.num_rows == 0
+
+
+def test_ray_join_translation_path(ray_session, monkeypatch):
+    # force the distributed hash-join idx->id translation (the >8M-doc path)
+    monkeypatch.setattr(sg, "_BROADCAST_DOCS_MAX", 0)
+    r = np.random.default_rng(9)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [" ".join(r.choice(vocab, size=r.integers(8, 30))) for _ in range(40)]
+    shared = " ".join(r.choice(vocab, size=12))
+    for j in (2, 11, 29):
+        docs[j] = docs[j][:6] + " " + shared + " " + docs[j][6:]
+    ids = (r.permutation(9999)[:40] + 1).tolist()
+    exp = sa_oracle_pairs(docs, ids, 30)
+    assert exp
+    t = sg.suffix_array_pair_table(
+        _ray_ds(docs, ids, 5), min_match_length=30, text_field="caption", id_field="_id"
+    )
+    got = set(zip(t.column("src").to_numpy().tolist(), t.column("dst").to_numpy().tolist()))
+    assert got == exp
