@@ -705,6 +705,80 @@ def q_video_motion(sf_dir: str):
     return scored.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True).sort("clip_id")
 
 
+def q_video_frames(sf_dir: str):
+    """Pixel-level clip frame extraction end-to-end on real container bytes:
+    derive MJPEG MP4s (solid 64x64 frames encoded with the repo's own T.81
+    codec, per-frame RGB from the planted closed form), parse metadata,
+    explode fixed-stride clips, remux each clip's own sample range into a
+    standalone buffer (lossless stream copy), decode frames at the track
+    rate, and verify every decoded pixel against the planted color
+    (``pixels_ok`` — PSNR is exactly infinite for a correct path, so the
+    >=40 dB invariant holds with margin). Clip identities and per-clip
+    frame counts are recomputed by the SQL oracle from the text length.
+    Reference: clipping/clip_frame_extraction.py:34 (policies/signature),
+    clip_extraction_stages.py:28 (per-clip buffers),
+    utils/decoder_utils.py:70-112 (FrameExtractionSignature)."""
+    from curator_ray.stages.video import (
+        clip_frame_extraction_stage,
+        derive_mjpeg_video_table,
+        fixed_stride_clip_stage,
+        mjpeg_clip_remux_stage,
+        planted_frame_color,
+        video_metadata_stage,
+    )
+
+    docs = _read(sf_dir, "documents")
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 20 == 0))
+
+    sampled = docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    vids = video_metadata_stage(derive_mjpeg_video_table(sampled))
+    clips = fixed_stride_clip_stage(
+        vids, clip_len_s=0.2, clip_stride_s=0.2, carry_fields=("video", "seed")
+    )
+    frames = clip_frame_extraction_stage(
+        mjpeg_clip_remux_stage(clips),
+        extraction_policies=("sequence",),
+        target_fps=(30.0,),
+        concurrency=(1, 4),
+    )
+
+    def verdict(b: pa.Table) -> pa.Table:
+        seeds = b.column("seed").to_numpy(zero_copy_only=False)
+        sfs = b.column("start_frame").to_numpy(zero_copy_only=False)
+        hs = b.column("frame_height").to_numpy(zero_copy_only=False)
+        ws = b.column("frame_width").to_numpy(zero_copy_only=False)
+        ok = np.zeros(len(b), bool)
+        for i, fl in enumerate(b.column("frames")):
+            if not fl.is_valid:
+                continue
+            good = True
+            for k, fb in enumerate(fl.as_py()):
+                px = np.frombuffer(fb, np.uint8).reshape(int(hs[i]), int(ws[i]), 3)
+                want = planted_frame_color(int(seeds[i]), int(sfs[i]) + k)
+                if not (px == np.array(want, np.uint8)).all():
+                    good = False
+                    break
+            ok[i] = good and b.column("errors")[i].as_py() is None
+        return pa.table(
+            {
+                "clip_id": b.column("clip_id"),
+                "video_id": b.column("video_id"),
+                "start_frame": b.column("start_frame"),
+                "end_frame": b.column("end_frame"),
+                "frame_signature": b.column("frame_signature"),
+                "frame_count": b.column("frame_count").cast(pa.int64()),
+                "pixels_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return frames.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "clip_id"
+    )
+
+
 def q_interleaved_aspect(sf_dir: str):
     """Interleaved family end-to-end, oracle-checked: derive multimodal
     samples (metadata/text/image rows with real PNG payloads whose
@@ -1778,6 +1852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # video family
         "video_clips": q_video_clips,
         "video_motion": q_video_motion,
+        "video_frames": q_video_frames,
         # interleaved family
         "interleaved_aspect": q_interleaved_aspect,
         # end-to-end composites
@@ -2007,6 +2082,35 @@ FROM c ORDER BY clip_id
 """
 
 
+_VIDEO_FRAMES_SQL = r"""
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS video_id,
+         (length(trim(regexp_replace(text, '\s+', ' ', 'g'))) % 12 + 4) AS n_frames
+  FROM documents WHERE doc_id % 20 = 0
+), d AS (
+  SELECT video_id, n_frames, n_frames / 30.0 AS duration FROM v
+), c AS (
+  SELECT video_id, n_frames,
+         i * 0.2 AS span_start,
+         least(i * 0.2 + 0.2, duration) AS span_end
+  FROM d, range(0, 100) t(i)
+  WHERE i * 0.2 < duration
+), f AS (
+  SELECT video_id, n_frames,
+         CAST(floor(span_start * 30.0) AS BIGINT) AS start_frame,
+         CAST(floor(span_end * 30.0) AS BIGINT) AS end_frame
+  FROM c
+)
+SELECT video_id || '_' || CAST(start_frame AS VARCHAR)
+         || '_' || CAST(end_frame AS VARCHAR) AS clip_id,
+       video_id, start_frame, end_frame,
+       'FrameExtractionPolicy.sequence-30000' AS frame_signature,
+       least(end_frame, n_frames) - start_frame AS frame_count,
+       true AS pixels_ok
+FROM f ORDER BY clip_id
+"""
+
+
 _INTERLEAVED_SQL = r"""
 WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS sample_id,
@@ -2187,6 +2291,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "audio_metrics": _AUDIO_METRICS_SQL,
         "video_clips": _VIDEO_CLIPS_SQL,
+        "video_frames": _VIDEO_FRAMES_SQL,
         "interleaved_aspect": _INTERLEAVED_SQL,
         # estimator-property check: the oracle reproduces the exact-Jaccard
         # pair set (same SQL as ngram_jaccard) and asserts the in-query

@@ -114,6 +114,64 @@ def _walk(b: bytes, start: int, end: int, out: dict) -> None:
             if n >= 1 and s + 16 <= e:
                 cur = out.get("_cur", out)
                 cur["codec"] = b[s + 12 : s + 16].decode("ascii", "replace")
+        elif cc == b"stsz":
+            sample_size, n = struct.unpack_from(">II", b, s + 4)
+            cur = out.get("_cur", out)
+            if sample_size:
+                cur["sample_sizes"] = [sample_size] * n
+            else:
+                cur["sample_sizes"] = list(
+                    struct.unpack_from(f">{n}I", b, s + 12)
+                )
+        elif cc in (b"stco", b"co64"):
+            (n,) = struct.unpack_from(">I", b, s + 4)
+            fmt = ">%d%s" % (n, "I" if cc == b"stco" else "Q")
+            cur = out.get("_cur", out)
+            cur["chunk_offsets"] = list(struct.unpack_from(fmt, b, s + 8))
+        elif cc == b"stsc":
+            (n,) = struct.unpack_from(">I", b, s + 4)
+            cur = out.get("_cur", out)
+            cur["sample_to_chunk"] = [
+                struct.unpack_from(">III", b, s + 8 + 12 * i) for i in range(n)
+            ]
+
+
+def mp4_sample_ranges(b: bytes) -> list[tuple[int, int]]:
+    """(file_offset, size) per media sample of the first video track,
+    resolved from the sample tables (stsz x stsc x stco/co64) the same way
+    a demuxer locates frames — ISO/IEC 14496-12 §8.7. For MJPEG tracks
+    (sample entry ``jpeg``) each range is one complete JFIF stream, so
+    ``b[off:off+size]`` feeds the repo's own T.81 decoder directly."""
+    out: dict = {}
+    _walk(b, 0, len(b), out)
+    trak = None
+    for t in out.get("traks", []):
+        if t.get("sample_sizes"):
+            trak = t
+            break
+    if trak is None:
+        raise ValueError("no track with a non-empty sample-size table")
+    sizes = trak["sample_sizes"]
+    offsets = trak.get("chunk_offsets") or []
+    stsc = trak.get("sample_to_chunk") or []
+    if not offsets or not stsc:
+        raise ValueError("missing stco/stsc sample tables")
+    # expand stsc runs: entry i applies from first_chunk_i until first_chunk_{i+1}
+    ranges: list[tuple[int, int]] = []
+    si = 0
+    for ei, (first_chunk, per_chunk, _desc) in enumerate(stsc):
+        last_chunk = (
+            stsc[ei + 1][0] - 1 if ei + 1 < len(stsc) else len(offsets)
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            pos = offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    return ranges
+                ranges.append((pos, sizes[si]))
+                pos += sizes[si]
+                si += 1
+    return ranges
 
 
 def mp4_info(b: bytes) -> Mp4Info:
@@ -200,4 +258,75 @@ def write_minimal_mp4(
     moov = _box(b"moov", mvhd + trak)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mdat = _box(b"mdat", b"")
+    return ftyp + mdat + moov
+
+
+def write_mjpeg_mp4(
+    frames: list[bytes],
+    framerate: float,
+    width: int,
+    height: int,
+    timescale: int = 600,
+) -> bytes:
+    """MP4 carrying a Motion-JPEG video track: each sample is one complete
+    JFIF stream (sample entry fourcc ``jpeg``, ISO 14496-12's pre-AVC
+    RFC-2435-style layout), all samples in a single chunk inside ``mdat``.
+
+    Gives the sandbox a real end-to-end pixel path: the repo's own T.81
+    JPEG codec (``functions/jpeg.py``) encodes frames, this writer muxes
+    them, :func:`mp4_sample_ranges` demuxes them, and the video clip
+    stages decode real pixels — no ffmpeg. The box layout mirrors
+    :func:`write_minimal_mp4` with real stsz/stsc/stco tables.
+    """
+    num_frames = len(frames)
+    media_ts = int(round(framerate * 1000))
+    delta = 1000
+    media_dur = num_frames * delta
+    dur_units = int(round(num_frames / framerate * timescale)) if framerate else 0
+
+    payload = b"".join(frames)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", payload)
+    mdat_payload_off = len(ftyp) + 8
+
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur_units)
+        + struct.pack(">IH2x8x36xI24x", 0x00010000, 0x0100, 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3xIIII4x", 7, 0, 0, 1, dur_units)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, media_ts, media_dur, 0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">B3xI4s12x", 0, 0, b"vide") + b"video\x00")
+    stsd = _box(
+        b"stsd",
+        struct.pack(">B3xI", 0, 1)
+        + _box(
+            b"jpeg",
+            b"\x00" * 6
+            + struct.pack(">H", 1)
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + b"\x00" * 50,
+        ),
+    )
+    stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, num_frames, delta))
+    stsc = _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, num_frames, 1))
+    stsz = _box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, num_frames)
+        + struct.pack(f">{num_frames}I", *[len(f) for f in frames]),
+    )
+    stco = _box(b"stco", struct.pack(">B3xII", 0, 1, mdat_payload_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", _box(b"vmhd", struct.pack(">B3xHHHH", 0, 1, 0, 0, 0)) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov

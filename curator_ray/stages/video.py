@@ -48,7 +48,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.mp4 import mp4_info, write_minimal_mp4
+from ..functions.mp4 import (
+    mp4_info,
+    mp4_sample_ranges,
+    write_minimal_mp4,
+    write_mjpeg_mp4,
+)
 
 _MIN_SIDE_RESOLUTION = 256  # motion_vector_backend.py:28
 
@@ -105,6 +110,7 @@ def fixed_stride_clip_stage(
     min_clip_length_s: float = 0.0,
     limit_clips: int = 0,
     id_field: str = "video_id",
+    carry_fields: tuple[str, ...] = (),
 ):
     """Explode videos into fixed-stride clip rows (reference
     ``FixedStrideExtractorStage.process``, ``clip_extraction_stages.py:
@@ -130,6 +136,11 @@ def fixed_stride_clip_stage(
     reference's repeated ``+=`` float accumulation — identical except for
     sub-ulp drift after tens of thousands of strides, and exactly
     reproducible by a SQL ``range()`` oracle.
+
+    ``carry_fields`` names source columns to repeat onto each emitted clip
+    row (e.g. ``("video", "framerate")`` so a downstream remux/decode stage
+    sees the bytes) — the columnar analogue of the reference clips keeping a
+    pointer to their parent ``Video``.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -138,7 +149,8 @@ def fixed_stride_clip_stage(
         fpss = batch.column("framerate").to_numpy(zero_copy_only=False)
         out_vid, out_cid, out_uuid = [], [], []
         out_s, out_e, out_sf, out_ef = [], [], [], []
-        for vid, dur, fps in zip(vids, durs, fpss):
+        take_rows: list[int] = []  # source row per emitted clip (carry_fields)
+        for row, (vid, dur, fps) in enumerate(zip(vids, durs, fpss)):
             if not np.isfinite(dur) or dur <= 0 or not np.isfinite(fps):
                 continue  # reference skips rows with incomplete metadata
             n_starts = int(np.ceil(dur / clip_stride_s))
@@ -161,8 +173,9 @@ def fixed_stride_clip_stage(
                 out_e.append(end)
                 out_sf.append(sf)
                 out_ef.append(ef)
+                take_rows.append(row)
                 count += 1
-        return pa.table(
+        out = pa.table(
             {
                 "clip_id": pa.array(out_cid, pa.string()),
                 "clip_uuid": pa.array(out_uuid, pa.string()),
@@ -173,6 +186,10 @@ def fixed_stride_clip_stage(
                 "end_frame": pa.array(out_ef, pa.int64()),
             }
         )
+        idx = pa.array(take_rows, pa.int64())
+        for name in carry_fields:
+            out = out.append_column(name, batch.column(name).take(idx))
+        return out
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -197,6 +214,244 @@ def clip_frame_indices_stage(ds, target_fps: float = 2.0):
         return batch.append_column("frame_indices", col)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------- clip buffers/frames
+
+
+def mjpeg_clip_remux_stage(ds, video_field: str = "video"):
+    """Cut each clip's own standalone buffer out of its parent video by
+    stream copy (reference ``ClipTranscodingStage``,
+    ``clipping/clip_extraction_stages.py:28-250`` — ffmpeg-bound there, so
+    its codecs stay gated; for MJPEG tracks a clip is just a sample-range
+    remux, which this stage does losslessly with the repo's own muxer).
+
+    Input rows: clips carrying ``start_frame/end_frame`` plus the parent
+    ``video`` bytes (``fixed_stride_clip_stage(carry_fields=("video", ...))``).
+    Output: ``clip_buffer`` (one self-contained MJPEG MP4 per clip) replaces
+    the parent bytes; rows whose track is not MJPEG get a ``buffer`` error
+    marker like the reference's per-clip error dict.
+
+    Scale: sample ranges are header arithmetic; the only bytes moved are the
+    clip's own frames (no decode, no re-encode — PSNR is exactly infinite
+    vs the source frames, satisfying the lossless per-row invariant).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sf = batch.column("start_frame").to_numpy(zero_copy_only=False)
+        ef = batch.column("end_frame").to_numpy(zero_copy_only=False)
+        bufs: list[bytes | None] = []
+        errs: list[str | None] = []
+        prev_blob: bytes | None = None
+        prev: tuple[list[tuple[int, int]], float, int, int] | None = None
+        prev_err = "metadata"
+        for i, blob in enumerate(batch.column(video_field)):
+            b = blob.as_py()
+            if not b:
+                bufs.append(None)
+                errs.append("empty")
+                continue
+            if b != prev_blob:  # consecutive clips share a parent video
+                try:
+                    info = mp4_info(b)
+                    if info.video_codec != "jpeg":
+                        raise ValueError("not an MJPEG track")
+                    prev = (mp4_sample_ranges(b), info.framerate, info.width, info.height)
+                except ValueError as exc:
+                    prev = None
+                    prev_err = "codec" if "MJPEG" in str(exc) else "metadata"
+                prev_blob = b
+            if prev is None:
+                bufs.append(None)
+                errs.append(prev_err)
+                continue
+            ranges, fps, w, h = prev
+            lo, hi = int(sf[i]), min(int(ef[i]), len(ranges))
+            frames = [b[off : off + sz] for off, sz in ranges[lo:hi]]
+            bufs.append(write_mjpeg_mp4(frames, fps, w, h))
+            errs.append(None)
+        out = batch.drop_columns([video_field])
+        return out.append_column("clip_buffer", pa.array(bufs, pa.binary())).append_column(
+            "errors", pa.array(errs, pa.string())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# frame-extraction policies (reference utils/decoder_utils.py:70-112)
+_POLICIES = ("first", "middle", "last", "sequence")
+
+
+def _downsample_block_mean(px: np.ndarray, target_res: tuple[int, int]) -> np.ndarray:
+    """Integer-factor block-mean downsample (documented deviation: the
+    reference resizes via decord/cv2 bilinear; block mean collapses the
+    same region to one value — same detector semantics as motion_scores)."""
+    th, tw = target_res
+    if th <= 0 or tw <= 0:
+        return px
+    h, w = px.shape[:2]
+    fh, fw = max(h // th, 1), max(w // tw, 1)
+    ch, cw = (h // fh) * fh, (w // fw) * fw
+    return (
+        px[:ch, :cw]
+        .reshape(ch // fh, fh, cw // fw, fw, px.shape[2])
+        .mean(axis=(1, 3))
+        .round()
+        .astype(np.uint8)
+    )
+
+
+class ClipFrameExtraction:
+    """Actor-pool map_batches: decode each clip's MJPEG buffer and emit one
+    row per (clip, extraction_policy, target_fps) with the sampled frames
+    as raw RGB bytes (reference ``ClipFrameExtractionStage``,
+    ``clipping/clip_frame_extraction.py:34-140``; policy/signature
+    semantics from ``utils/decoder_utils.py:70-112``).
+
+    Parity points: the signature string is the reference's
+    ``FrameExtractionSignature.to_str()`` (``FrameExtractionPolicy.<p>-<fps*1000>``);
+    multiple integer target fps decode ONCE at their LCM and stride-slice
+    per fps (the reference's decode-cost optimization); ``first/middle/last``
+    pick the single frame the reference's policies name; empty buffers get
+    the ``buffer: empty`` error row. Non-MJPEG codecs are decoder-bound
+    (decord/DALI in the reference) and raise at setup — the gate for this
+    sandbox, same policy as PyAV/vLLM.
+
+    Output columns: ``frame_signature``, ``frames`` (large_list<large_binary>,
+    one h*w*3 RGB buffer per sampled frame), ``frame_height``, ``frame_width``,
+    ``frame_count``, ``errors``. Frames stay raw bytes (not nested lists) so
+    a 10^12-row run moves them zero-copy; batch_size stays small because
+    each row fans out to frames x pixels.
+    """
+
+    def __init__(
+        self,
+        extraction_policies: tuple[str, ...] = ("sequence",),
+        target_fps: tuple[float, ...] = (2.0,),
+        target_res: tuple[int, int] = (-1, -1),
+        buffer_field: str = "clip_buffer",
+    ):
+        for p in extraction_policies:
+            if p not in _POLICIES:
+                raise ValueError(f"unknown extraction policy {p!r}; options {_POLICIES}")
+        self.policies = extraction_policies
+        self.target_fps = tuple(float(f) for f in target_fps)
+        self.target_res = target_res
+        self.buffer_field = buffer_field
+        self.use_lcm = len(self.target_fps) > 1 and all(
+            f.is_integer() for f in self.target_fps
+        )
+
+    def _decode(self, buf: bytes, sample_fps: float) -> tuple[list[np.ndarray], float]:
+        info = mp4_info(buf)
+        if info.video_codec != "jpeg":
+            raise NotImplementedError(
+                f"codec {info.video_codec!r} needs a decoder (decord/DALI in the "
+                "reference); in-sandbox frame extraction supports MJPEG tracks"
+            )
+        from ..functions.jpeg import decode_jpeg
+
+        ranges = mp4_sample_ranges(buf)
+        fps = info.framerate or 30.0
+        step = max(1, int(round(fps / sample_fps)))
+        frames = []
+        for off, sz in ranges[::step]:
+            px = decode_jpeg(buf[off : off + sz])
+            frames.append(_downsample_block_mean(px, self.target_res))
+        return frames, fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = [n for n in batch.schema.names if n not in (self.buffer_field, "errors")]
+        rows_idx: list[int] = []
+        sig_col: list[str] = []
+        frames_col: list[list[bytes] | None] = []
+        fh_col: list[int] = []
+        fw_col: list[int] = []
+        fc_col: list[int] = []
+        err_col: list[str | None] = []
+
+        def emit(i: int, sig: str, frames: list[np.ndarray] | None, err: str | None):
+            rows_idx.append(i)
+            sig_col.append(sig)
+            if frames is None:
+                frames_col.append(None)
+                fh_col.append(0)
+                fw_col.append(0)
+                fc_col.append(0)
+            else:
+                frames_col.append([f.tobytes() for f in frames])
+                fh_col.append(frames[0].shape[0] if frames else 0)
+                fw_col.append(frames[0].shape[1] if frames else 0)
+                fc_col.append(len(frames))
+            err_col.append(err)
+
+        for i, blob in enumerate(batch.column(self.buffer_field)):
+            buf = blob.as_py()
+            if not buf:
+                for policy in self.policies:
+                    for fps in self.target_fps:
+                        emit(i, f"FrameExtractionPolicy.{policy}-{int(fps * 1000)}", None, "empty")
+                continue
+            for policy in self.policies:
+                if policy == "sequence" and self.use_lcm:
+                    import math
+
+                    lcm = float(math.lcm(*[int(f) for f in self.target_fps]))
+                    frames, _ = self._decode(buf, lcm)
+                    for fps in self.target_fps:
+                        emit(
+                            i,
+                            f"FrameExtractionPolicy.{policy}-{int(fps * 1000)}",
+                            frames[:: int(lcm / fps)],
+                            None,
+                        )
+                    continue
+                for fps in self.target_fps:
+                    frames, _ = self._decode(buf, fps)
+                    if policy == "first":
+                        frames = frames[:1]
+                    elif policy == "middle":
+                        frames = frames[len(frames) // 2 : len(frames) // 2 + 1]
+                    elif policy == "last":
+                        frames = frames[-1:]
+                    emit(i, f"FrameExtractionPolicy.{policy}-{int(fps * 1000)}", frames, None)
+
+        idx = pa.array(rows_idx, pa.int64())
+        out = batch.select(keep).take(idx)
+        return (
+            out.append_column("frame_signature", pa.array(sig_col, pa.string()))
+            .append_column(
+                "frames", pa.array(frames_col, pa.large_list(pa.large_binary()))
+            )
+            .append_column("frame_height", pa.array(fh_col, pa.int32()))
+            .append_column("frame_width", pa.array(fw_col, pa.int32()))
+            .append_column("frame_count", pa.array(fc_col, pa.int32()))
+            .append_column("errors", pa.array(err_col, pa.string()))
+        )
+
+
+def clip_frame_extraction_stage(
+    ds,
+    extraction_policies: tuple[str, ...] = ("sequence",),
+    target_fps: tuple[float, ...] = (2.0,),
+    target_res: tuple[int, int] = (-1, -1),
+    buffer_field: str = "clip_buffer",
+    concurrency: tuple[int, int] = (1, 8),
+    batch_size: int = 32,
+):
+    return ds.map_batches(
+        ClipFrameExtraction,
+        fn_constructor_kwargs={
+            "extraction_policies": extraction_policies,
+            "target_fps": target_fps,
+            "target_res": target_res,
+            "buffer_field": buffer_field,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
 
 
 # ---------------------------------------------------------------- motion
@@ -397,6 +652,69 @@ def derive_video_table(
             {
                 "video_id": batch.column(id_field).cast(pa.string()),
                 "video": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def planted_frame_color(seed: int, frame_idx: int) -> tuple[int, int, int]:
+    """The synthetic corpus's per-frame RGB rule — one closed form shared by
+    the generator and the verdict check so frame content is independently
+    recomputable from (video seed, frame index) alone."""
+    return (
+        (seed + 37 * frame_idx) % 256,
+        (seed * 3 + 11 * frame_idx) % 256,
+        (seed * 7 + 5 * frame_idx) % 256,
+    )
+
+
+def derive_mjpeg_video_table(
+    ds,
+    text_field: str = "text",
+    id_field: str = "doc_id",
+    framerate: float = 30.0,
+    frame_hw: tuple[int, int] = (64, 64),
+):
+    """Deterministic MJPEG videos from a text corpus: per document,
+    ``(len(collapsed_text) % 12) + 4`` solid-color 64x64 frames whose RGB
+    follows :func:`planted_frame_color` with the document's murmur seed —
+    real muxed container bytes (every downstream stage exercises the true
+    demux + JPEG decode path) with pixel truth recomputable off-pipeline.
+    Solid frames decode losslessly through the T.81 codec (DC-only blocks),
+    so the PSNR>=40 per-row invariant is checkable exactly."""
+    from .ids import hash_ids_from_strings
+    from ..functions.jpeg import encode_jpeg
+
+    h, w = frame_hw
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_field)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = texts.fill_null("") if texts.null_count else texts
+        collapsed = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(texts, r"\s+", " ")
+        )
+        lens = pc.utf8_length(collapsed).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_field).cast(pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        seeds = hash_ids_from_strings(ids).view(np.uint64) % 251
+        blobs = []
+        for ln, seed in zip(lens, seeds):
+            n = int(ln) % 12 + 4
+            frames = []
+            px = np.empty((h, w, 3), np.uint8)
+            for fi in range(n):
+                px[:] = planted_frame_color(int(seed), fi)
+                frames.append(encode_jpeg(px, quality=90))
+            blobs.append(write_mjpeg_mp4(frames, framerate, w, h))
+        return pa.table(
+            {
+                "video_id": ids,
+                "video": pa.array(blobs, pa.binary()),
+                "seed": pa.array(seeds.astype(np.int64), pa.int64()),
             }
         )
 

@@ -162,3 +162,135 @@ def test_decode_motion_vectors_gated():
     # ImportError (with the package present the real decode path runs)
     with pytest.raises(ImportError, match="mv_frames"):
         decode_motion_vectors(b"")
+
+
+# ------------------------------------------------- MJPEG frame extraction
+
+
+def test_mjpeg_mux_demux_lossless():
+    from curator_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from curator_ray.functions.mp4 import mp4_sample_ranges, write_mjpeg_mp4
+
+    planted = []
+    frames = []
+    for i in range(7):
+        px = np.full((64, 64, 3), (10 * i + 5, 250 - 20 * i, 13 * i), np.uint8)
+        planted.append(px)
+        frames.append(encode_jpeg(px, quality=90))
+    b = write_mjpeg_mp4(frames, 24.0, 64, 64)
+    info = mp4_info(b)
+    assert (info.num_frames, info.video_codec) == (7, "jpeg")
+    assert info.framerate == pytest.approx(24.0)
+    ranges = mp4_sample_ranges(b)
+    assert len(ranges) == 7
+    for (off, sz), want in zip(ranges, planted):
+        got = decode_jpeg(b[off : off + sz])
+        assert (got == want).all()  # solid frames decode losslessly (PSNR inf)
+    # the sample table must reproduce the exact encoded streams
+    assert [b[o : o + s] for o, s in ranges] == frames
+    with pytest.raises(ValueError):
+        mp4_sample_ranges(write_minimal_mp4(10, 30.0, 64, 64))  # no samples
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clip_frame_extraction_pipeline():
+    import ray
+
+    from curator_ray.stages.video import (
+        ClipFrameExtraction,
+        clip_frame_extraction_stage,
+        derive_mjpeg_video_table,
+        fixed_stride_clip_stage,
+        mjpeg_clip_remux_stage,
+        planted_frame_color,
+        video_metadata_stage,
+    )
+
+    docs = pa.table(
+        {"doc_id": ["a", "b", "c"], "text": ["hello world", "x" * 25, "y" * 7]}
+    )
+    vids = video_metadata_stage(derive_mjpeg_video_table(ray.data.from_arrow(docs)))
+    clips = fixed_stride_clip_stage(
+        vids,
+        clip_len_s=0.2,
+        clip_stride_s=0.2,
+        carry_fields=("video", "seed"),
+    )
+    bufs = mjpeg_clip_remux_stage(clips)
+    out = clip_frame_extraction_stage(
+        bufs,
+        extraction_policies=("sequence", "first", "middle", "last"),
+        target_fps=(30.0,),
+        concurrency=(1, 2),
+    )
+    rows = out.take_all()
+    assert rows, "no clip rows"
+    by_sig: dict[str, int] = {}
+    for row in rows:
+        assert row["errors"] is None
+        sig = row["frame_signature"]
+        by_sig[sig] = by_sig.get(sig, 0) + 1
+        h, w = row["frame_height"], row["frame_width"]
+        n_clip = row["end_frame"] - row["start_frame"]
+        if sig.startswith("FrameExtractionPolicy.sequence"):
+            assert row["frame_count"] == n_clip  # 30 fps on a 30 fps track
+        else:
+            assert row["frame_count"] == 1
+        for k, fb in enumerate(row["frames"]):
+            px = np.frombuffer(fb, np.uint8).reshape(h, w, 3)
+            if sig.startswith("FrameExtractionPolicy.middle"):
+                fi = row["start_frame"] + n_clip // 2
+            elif sig.startswith("FrameExtractionPolicy.last"):
+                fi = row["end_frame"] - 1
+            else:
+                fi = row["start_frame"] + k
+            want = planted_frame_color(row["seed"], fi)
+            assert (px == np.array(want, np.uint8)).all(), (row["clip_id"], sig, k)
+    assert len(by_sig) == 4  # one row per (clip, policy) signature
+    assert len(set(by_sig.values())) == 1
+
+    # signature string parity + policy validation
+    assert "FrameExtractionPolicy.sequence-30000" in by_sig
+    with pytest.raises(ValueError, match="policy"):
+        ClipFrameExtraction(extraction_policies=("bogus",))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clip_frame_extraction_lcm_and_target_res():
+    import ray
+
+    from curator_ray.functions.jpeg import encode_jpeg
+    from curator_ray.functions.mp4 import write_mjpeg_mp4
+    from curator_ray.stages.video import clip_frame_extraction_stage
+
+    # 12 frames at 12 fps; target fps {2, 3} -> decode once at LCM 6,
+    # stride-slice to 3 and 2 frames
+    frames = [
+        encode_jpeg(np.full((32, 32, 3), (i, i, i), np.uint8)) for i in range(12)
+    ]
+    buf = write_mjpeg_mp4(frames, 12.0, 32, 32)
+    ds = ray.data.from_arrow(pa.table({"clip_id": ["c"], "clip_buffer": [buf]}))
+    rows = clip_frame_extraction_stage(
+        ds, target_fps=(2.0, 3.0), concurrency=(1, 1)
+    ).take_all()
+    got = {r["frame_signature"]: r["frame_count"] for r in rows}
+    # 1 s of video: 2 fps samples t={0, .5} -> 2 frames; 3 fps -> 3 frames
+    assert got == {
+        "FrameExtractionPolicy.sequence-2000": 2,
+        "FrameExtractionPolicy.sequence-3000": 3,
+    }
+
+    # target_res block-mean downsample: 32x32 -> 16x16
+    small = clip_frame_extraction_stage(
+        ds, target_fps=(12.0,), target_res=(16, 16), concurrency=(1, 1)
+    ).take_all()
+    assert small[0]["frame_height"] == 16 and small[0]["frame_width"] == 16
+    px = np.frombuffer(small[0]["frames"][0], np.uint8).reshape(16, 16, 3)
+    assert (px == 0).all()  # frame 0 is solid black at any resolution
+
+    # empty buffer -> reference-style error row
+    empty = ray.data.from_arrow(
+        pa.table({"clip_id": ["e"], "clip_buffer": pa.array([b""], pa.binary())})
+    )
+    err = clip_frame_extraction_stage(empty, concurrency=(1, 1)).take_all()
+    assert err[0]["errors"] == "empty" and err[0]["frames"] is None
