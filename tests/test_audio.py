@@ -479,3 +479,121 @@ def test_alm_window_stage_fanout():
     assert set(out.audio_id) == {"u1"}  # u2 fails the sample-rate gate
     assert (out.n_segments >= 2).all()
     assert all(len(d) == 5 for d in out.speaker_durations)
+
+
+# ----------------------------------------- model-gated quality + diarization
+
+
+def test_sigmos_threshold_logic_matches_reference():
+    from curator_ray.stages.audio import SIGMOS_KEYS, check_sigmos_thresholds
+
+    scores = dict.fromkeys(SIGMOS_KEYS, 4.2)
+    thr = {"noise": 4.0, "ovrl": 3.5, "sig": None, "col": None, "disc": None,
+           "loud": None, "reverb": None}
+    ok, fails = check_sigmos_thresholds(scores, thr)
+    assert ok and fails == []
+    scores["noise"] = 3.9
+    scores["ovrl"] = 3.4
+    ok, fails = check_sigmos_thresholds(scores, thr)
+    assert not ok
+    assert fails == ["NOISE 3.900 < 4.0", "OVRL 3.400 < 3.5"]
+    # None disables a check even for terrible scores (sigmos.py:276-279)
+    scores["sig"] = 0.0
+    assert check_sigmos_thresholds(scores, {**thr, "noise": None, "ovrl": None})[0]
+
+
+def test_quality_gates_raise_informative_importerrors():
+    from curator_ray.stages.audio import (
+        SigmosFilter,
+        SpeakerDiarization,
+        SquimMetrics,
+        UtmosFilter,
+    )
+
+    with pytest.raises(ImportError, match="scores_fn"):
+        SigmosFilter()
+    with pytest.raises(ImportError, match="scores_fn"):
+        UtmosFilter()
+    with pytest.raises(ImportError, match="scores_fn"):
+        SquimMetrics()
+    with pytest.raises(ImportError, match="segments_fn"):
+        SpeakerDiarization()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sigmos_utmos_squim_diarization_stages():
+    import ray
+
+    from curator_ray.stages.audio import (
+        diarization_stage,
+        energy_vad_intervals,
+        sigmos_filter_stage,
+        squim_metrics_stage,
+        utmos_filter_stage,
+    )
+    from curator_ray.functions.wav import encode_wav
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    loud = encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), rate)
+    quiet = encode_wav(0.01 * np.sin(2 * np.pi * 440 * t), rate)
+    rows = pa.table(
+        {"audio_id": ["loud", "quiet", "bad"],
+         "audio": pa.array([loud, quiet, b"junk"], pa.binary())}
+    )
+
+    def _rms_mos(audio, rate):
+        # deterministic injected scorer: louder -> higher MOS on every axis
+        # (defined inside the test so cloudpickle ships it by value — Ray
+        # workers cannot import the pytest-rewritten test module)
+        from curator_ray.stages.audio import SIGMOS_KEYS
+
+        rms = float(np.sqrt((audio**2).mean()))
+        return dict.fromkeys(SIGMOS_KEYS, round(1.0 + 4.0 * min(rms * 4.0, 1.0), 3))
+
+    kept = sigmos_filter_stage(
+        ray.data.from_arrow(rows), scores_fn=_rms_mos, concurrency=(1, 1)
+    ).to_pandas()
+    # loud scores ~4.9 on every axis -> passes noise>=4.0/ovrl>=3.5;
+    # quiet ~1.2 fails; undecodable row drops with a load-failure reason
+    assert list(kept.audio_id) == ["loud"]
+    assert kept.iloc[0].sigmos_noise >= 4.0
+    assert kept.iloc[0].sigmos_fail_reasons is None
+
+    mos = utmos_filter_stage(
+        ray.data.from_arrow(rows),
+        scores_fn=lambda a, r: 1.0 + 4.0 * min(float(np.sqrt((a**2).mean())) * 4.0, 1.0),
+        concurrency=(1, 1),
+    ).to_pandas()
+    assert list(mos.audio_id) == ["loud"]
+    assert mos.iloc[0].utmos_mos >= 3.5
+
+    sq = squim_metrics_stage(
+        ray.data.from_arrow(rows),
+        scores_fn=lambda a, r: (4.1234, 0.98765, 20.5),
+        concurrency=(1, 1),
+    ).to_pandas().set_index("audio_id")
+    # metrics stage keeps every row; values round to 3 decimals (squim.py:122)
+    assert len(sq) == 3
+    assert sq.loc["loud", "pesq_squim"] == 4.123
+    assert sq.loc["loud", "stoi_squim"] == 0.988
+    assert np.isnan(sq.loc["bad", "pesq_squim"])
+
+    def vad_segments(audio, rate):
+        return [
+            {"start": s, "end": e, "speaker": "speaker_0"}
+            for s, e in energy_vad_intervals(audio, rate)
+        ]
+
+    # nested list<struct> column: collect rows (to_pandas would try a
+    # tensor-extension cast on the ragged column)
+    di = {
+        r["audio_id"]: r["diar_segments"]
+        for r in diarization_stage(
+            ray.data.from_arrow(rows), segments_fn=vad_segments, concurrency=(1, 1)
+        ).take_all()
+    }
+    assert len(di) == 3
+    segs = di["loud"]
+    assert len(segs) >= 1 and segs[0]["speaker"] == "speaker_0"
+    assert di["bad"] is None
