@@ -1128,6 +1128,109 @@ def diarization_stage(
     )
 
 
+def align_words_to_segments(
+    alignment: list[dict], segments: list[dict]
+) -> list[dict]:
+    """Assign time-aligned words to diarization segments (reference
+    ``MergeAlignmentDiarizationStage.align_words_to_segments``,
+    ``tagging/merge_alignment_diarization.py:65-180`` semantics): a single
+    forward pass over start-sorted words per start-sorted segment —
+
+    - a word fully inside the segment joins it;
+    - a boundary-straddling word joins whichever of (this segment, the next
+      segment) it overlaps more, ties to the current one;
+    - a word overlapping neither (a diarization gap) is skipped.
+
+    Returns NEW segment dicts with ``text`` (space-joined words) and
+    ``words`` added; inputs are not mutated (the reference mutates its task
+    dicts in place — columnar rows are immutable, so this engine rebuilds).
+    """
+    alignment = sorted(alignment or [], key=lambda x: x.get("start", 0))
+    segments = sorted(segments or [], key=lambda x: x.get("start", 0))
+    out = [dict(s) for s in segments]
+    last = 0
+    if alignment and out:
+        for i, seg in enumerate(out):
+            words: list[dict] = []
+            s0, s1 = seg.get("start", 0), seg.get("end", 0)
+            while last < len(alignment):
+                word = alignment[last]
+                w0, w1 = word.get("start", 0), word.get("end", 0)
+                if w0 >= s1:
+                    break
+                if w0 >= s0 and w1 <= s1:
+                    words.append(word)
+                    last += 1
+                else:
+                    cur = max(0, min(w1, s1) - max(w0, s0))
+                    if i < len(out) - 1:
+                        n0, n1 = out[i + 1].get("start", 0), out[i + 1].get("end", 0)
+                        nxt = max(0, min(w1, n1) - max(w0, n0))
+                    else:
+                        nxt = 0
+                    if cur >= nxt and cur > 0:
+                        words.append(word)
+                        last += 1
+                    elif nxt > cur:
+                        break
+                    else:
+                        last += 1  # falls in a gap between segments: skip
+            seg["text"] = " ".join(x.get("word", "") for x in words)
+            seg["words"] = words
+    else:
+        for seg in out:
+            seg["text"] = ""
+            seg["words"] = []
+    return out
+
+
+def merge_alignment_diarization_stage(
+    ds,
+    alignment_field: str = "alignment",
+    segments_field: str = "diar_segments",
+):
+    """Merge word alignments into diarization segments per row (reference
+    ``MergeAlignmentDiarizationStage``, ``tagging/merge_alignment_
+    diarization.py:29``): the nested ``segments_field`` column is replaced
+    by segments carrying ``text`` + ``words``. Pure per-row transform —
+    plain task-pool ``map_batches``, no state, no shuffle."""
+
+    merged_type = pa.list_(
+        pa.struct(
+            [
+                ("start", pa.float64()),
+                ("end", pa.float64()),
+                ("speaker", pa.string()),
+                ("text", pa.string()),
+                (
+                    "words",
+                    pa.list_(
+                        pa.struct(
+                            [
+                                ("word", pa.string()),
+                                ("start", pa.float64()),
+                                ("end", pa.float64()),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        )
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        aligns = batch.column(alignment_field).to_pylist()
+        segs = batch.column(segments_field).to_pylist()
+        merged = [
+            None if s is None else align_words_to_segments(a or [], s)
+            for a, s in zip(aligns, segs)
+        ]
+        idx = batch.schema.get_field_index(segments_field)
+        return batch.set_column(idx, segments_field, pa.array(merged, merged_type))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # conversion + synthetic derivation
 # --------------------------------------------------------------------------

@@ -597,3 +597,74 @@ def test_sigmos_utmos_squim_diarization_stages():
     segs = di["loud"]
     assert len(segs) >= 1 and segs[0]["speaker"] == "speaker_0"
     assert di["bad"] is None
+
+
+def test_align_words_to_segments_reference_semantics():
+    from curator_ray.stages.audio import align_words_to_segments
+
+    def w(word, s, e):
+        return {"word": word, "start": s, "end": e}
+
+    segments = [
+        {"speaker": "sp0", "start": 0.0, "end": 3.0},
+        {"speaker": "sp1", "start": 3.0, "end": 6.0},
+    ]
+    alignment = [
+        w("inside", 0.5, 1.0),           # fully inside seg0
+        w("straddle-cur", 2.5, 3.4),     # overlaps seg0 by .5, seg1 by .4 -> seg0
+        w("straddle-next", 2.9, 3.8),    # overlaps seg0 by .1, seg1 by .8 -> seg1
+        w("in-next", 4.0, 5.0),
+        w("after-all", 7.0, 8.0),        # past the last segment: gap, skipped
+    ]
+    merged = align_words_to_segments(alignment, segments)
+    assert merged[0]["text"] == "inside straddle-cur"
+    assert merged[1]["text"] == "straddle-next in-next"
+    assert [x["word"] for x in merged[1]["words"]] == ["straddle-next", "in-next"]
+    # inputs not mutated (columnar rows are immutable)
+    assert "text" not in segments[0]
+
+    # tie goes to the current segment (cur >= nxt)
+    tie = align_words_to_segments([w("tie", 2.8, 3.2)], segments)
+    assert tie[0]["text"] == "tie" and tie[1]["text"] == ""
+
+    # gap word between segments is skipped
+    gapped = align_words_to_segments(
+        [w("gap", 3.2, 3.4)],
+        [{"speaker": "a", "start": 0.0, "end": 3.0},
+         {"speaker": "b", "start": 4.0, "end": 6.0}],
+    )
+    assert gapped[0]["text"] == "" and gapped[1]["text"] == ""
+
+    # empty alignment -> empty text fields on every segment
+    empty = align_words_to_segments([], segments)
+    assert all(s["text"] == "" and s["words"] == [] for s in empty)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_alignment_diarization_stage():
+    import ray
+
+    from curator_ray.stages.audio import merge_alignment_diarization_stage
+
+    rows = pa.table(
+        {
+            "audio_id": ["u1", "u2"],
+            "alignment": [
+                [{"word": "hi", "start": 0.2, "end": 0.6},
+                 {"word": "there", "start": 0.7, "end": 1.1}],
+                [],
+            ],
+            "diar_segments": [
+                [{"start": 0.0, "end": 1.5, "speaker": "speaker_0"}],
+                [{"start": 0.0, "end": 2.0, "speaker": "speaker_1"}],
+            ],
+        }
+    )
+    out = {
+        r["audio_id"]: r["diar_segments"]
+        for r in merge_alignment_diarization_stage(ray.data.from_arrow(rows)).take_all()
+    }
+    assert out["u1"][0]["text"] == "hi there"
+    assert [x["word"] for x in out["u1"][0]["words"]] == ["hi", "there"]
+    assert out["u1"][0]["speaker"] == "speaker_0"
+    assert out["u2"][0]["text"] == "" and out["u2"][0]["words"] == []
