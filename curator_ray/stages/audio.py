@@ -1128,6 +1128,81 @@ def diarization_stage(
     )
 
 
+def parse_diar_segments(raw_segments: list) -> list[dict]:
+    """Normalize diarizer output to ``{start, end, speaker}`` dicts
+    (reference ``_parse_sortformer_segments``, ``sortformer.py:33-68``:
+    accepts ``"start end speaker"`` strings, objects with attributes, or
+    dicts)."""
+    out: list[dict] = []
+    for seg in raw_segments:
+        if isinstance(seg, str):
+            parts = seg.strip().split()
+            out.append(
+                {
+                    "start": float(parts[0]),
+                    "end": float(parts[1]),
+                    "speaker": parts[2] if len(parts) > 2 else "unknown",
+                }
+            )
+        elif isinstance(seg, dict):
+            out.append(
+                {
+                    "start": float(seg["start"]),
+                    "end": float(seg["end"]),
+                    "speaker": str(seg.get("speaker", "unknown")),
+                }
+            )
+        elif hasattr(seg, "start") and hasattr(seg, "end"):
+            out.append(
+                {
+                    "start": float(seg.start),
+                    "end": float(seg.end),
+                    "speaker": str(getattr(seg, "speaker", "unknown")),
+                }
+            )
+    return out
+
+
+def rttm_from_segments(segments: list[dict], session_name: str) -> str:
+    """NIST RTTM text for one session's diarization segments (reference
+    ``_write_rttm``, ``sortformer.py:71-81``: one SPEAKER line per positive-
+    duration segment, 3-decimal start/duration, <NA> placeholder fields;
+    degenerate segments skipped). Returned as a string column value — the
+    engine's writers persist it, keeping IO out of the transform."""
+    lines = []
+    for seg in segments:
+        duration = seg["end"] - seg["start"]
+        if duration <= 0:
+            continue
+        lines.append(
+            f"SPEAKER {session_name} 1 {seg['start']:.3f} {duration:.3f} "
+            f"<NA> <NA> {seg['speaker']} <NA> <NA>"
+        )
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def rttm_stage(
+    ds,
+    segments_field: str = "diar_segments",
+    id_field: str = "audio_id",
+    rttm_field: str = "rttm",
+):
+    """Append an ``rttm`` string column rendered from the nested segment
+    column — the columnar analogue of the reference's per-session
+    ``{sess_name}.rttm`` side files."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_field).cast(pa.string()).to_pylist()
+        segs = batch.column(segments_field).to_pylist()
+        vals = [
+            None if s is None else rttm_from_segments(s, sid)
+            for sid, s in zip(ids, segs)
+        ]
+        return batch.append_column(rttm_field, pa.array(vals, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def align_words_to_segments(
     alignment: list[dict], segments: list[dict]
 ) -> list[dict]:

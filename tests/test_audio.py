@@ -668,3 +668,46 @@ def test_merge_alignment_diarization_stage():
     assert [x["word"] for x in out["u1"][0]["words"]] == ["hi", "there"]
     assert out["u1"][0]["speaker"] == "speaker_0"
     assert out["u2"][0]["text"] == "" and out["u2"][0]["words"] == []
+
+
+def test_parse_diar_segments_and_rttm():
+    from curator_ray.stages.audio import parse_diar_segments, rttm_from_segments
+
+    class Obj:
+        start, end, speaker = 1.0, 2.0, "sp3"
+
+    segs = parse_diar_segments(
+        ["0.0 1.5 speaker_0", "1.5 2.0", {"start": 2, "end": 3, "speaker": "sp2"}, Obj()]
+    )
+    assert segs[0] == {"start": 0.0, "end": 1.5, "speaker": "speaker_0"}
+    assert segs[1]["speaker"] == "unknown"
+    assert segs[2] == {"start": 2.0, "end": 3.0, "speaker": "sp2"}
+    assert segs[3] == {"start": 1.0, "end": 2.0, "speaker": "sp3"}
+
+    rttm = rttm_from_segments(
+        [{"start": 0.0, "end": 1.5, "speaker": "speaker_0"},
+         {"start": 2.0, "end": 2.0, "speaker": "degenerate"},  # skipped
+         {"start": 2.25, "end": 3.0, "speaker": "speaker_1"}],
+        "sess1",
+    )
+    assert rttm == (
+        "SPEAKER sess1 1 0.000 1.500 <NA> <NA> speaker_0 <NA> <NA>\n"
+        "SPEAKER sess1 1 2.250 0.750 <NA> <NA> speaker_1 <NA> <NA>\n"
+    )
+    assert rttm_from_segments([], "x") == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rttm_stage():
+    import ray
+
+    from curator_ray.stages.audio import rttm_stage
+
+    rows = pa.table(
+        {
+            "audio_id": ["u1"],
+            "diar_segments": [[{"start": 0.0, "end": 1.0, "speaker": "speaker_0"}]],
+        }
+    )
+    out = rttm_stage(ray.data.from_arrow(rows)).take_all()
+    assert out[0]["rttm"] == "SPEAKER u1 1 0.000 1.000 <NA> <NA> speaker_0 <NA> <NA>\n"
