@@ -473,6 +473,31 @@ def _update_baseline_md(summary: dict) -> None:
         f.write(text)
 
 
+def _memory_stats() -> dict:
+    """Object-store + spill summary after a run (peak plasma use and bytes
+    spilled to disk), from Ray's own memory accounting — the evidence the
+    sf=1 rehearsal records in PERF.md."""
+    out: dict = {}
+    try:
+        import ray
+        from ray._private.internal_api import memory_summary
+
+        text = memory_summary(stats_only=True)
+        m = re.search(r"Spilled (\d+) MiB, (\d+) objects", text)
+        if m:
+            out["spilled_mib"] = int(m.group(1))
+            out["spilled_objects"] = int(m.group(2))
+        m = re.search(r"Restored (\d+) MiB, (\d+) objects", text)
+        if m:
+            out["restored_mib"] = int(m.group(1))
+        m = re.search(r"Plasma memory usage (\d+) MiB", text)
+        if m:
+            out["plasma_mib_now"] = int(m.group(1))
+    except Exception:
+        pass
+    return out
+
+
 def run_flagship_only() -> dict:
     import ray
 
@@ -486,8 +511,10 @@ def run_flagship_only() -> dict:
     fault_gbps = fault_bandwidth_probe()  # cold-state substrate probe
     _warm_workers(NUM_CPUS)  # pay the sandbox worker cold-start before t0
     t, counters = bench_flagship(n_img)
+    mem = _memory_stats()
     ray.shutdown()
     return {
+        **mem,
         "metric": "flagship image dedup wall time",
         "value": round(t, 3),
         "unit": "sec",
@@ -496,6 +523,7 @@ def run_flagship_only() -> dict:
         "num_cpus": NUM_CPUS,
         "flagship_rows": n_img,
         "images_per_sec": round(n_img / t, 1),
+        "flagship_duplicates": counters.get("num_duplicates"),
         "fault_gbps": fault_gbps,
     }
 
