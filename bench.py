@@ -474,25 +474,23 @@ def _update_baseline_md(summary: dict) -> None:
 
 
 def _memory_stats() -> dict:
-    """Object-store + spill summary after a run (peak plasma use and bytes
-    spilled to disk), from Ray's own memory accounting — the evidence the
-    sf=1 rehearsal records in PERF.md."""
+    """Spill summary after a run, parsed from the session's raylet log
+    (``ray memory`` needs grpc, absent in this sandbox; the raylet's
+    periodic "Spilled N MiB, M objects" accounting carries the same
+    totals) — the evidence the sf=1 rehearsal records in PERF.md."""
     out: dict = {}
     try:
         import ray
-        from ray._private.internal_api import memory_summary
 
-        text = memory_summary(stats_only=True)
-        m = re.search(r"Spilled (\d+) MiB, (\d+) objects", text)
-        if m:
-            out["spilled_mib"] = int(m.group(1))
-            out["spilled_objects"] = int(m.group(2))
-        m = re.search(r"Restored (\d+) MiB, (\d+) objects", text)
-        if m:
-            out["restored_mib"] = int(m.group(1))
-        m = re.search(r"Plasma memory usage (\d+) MiB", text)
-        if m:
-            out["plasma_mib_now"] = int(m.group(1))
+        session = ray._private.worker._global_node.get_session_dir_path()
+        text = open(os.path.join(session, "logs", "raylet.out"), errors="replace").read()
+        hits = re.findall(r"Spilled (\d+) MiB, (\d+) objects", text)
+        if hits:
+            out["spilled_mib"] = int(hits[-1][0])
+            out["spilled_objects"] = int(hits[-1][1])
+        hits = re.findall(r"Restored (\d+) MiB, (\d+) objects", text)
+        if hits:
+            out["restored_mib"] = int(hits[-1][0])
     except Exception:
         pass
     return out
