@@ -225,9 +225,17 @@ class _FastTextStubModel:
         # whitespace split treats \n like any separator
         ids, wc = whitespace_token_ids(texts, self.emb.shape[0], self.seed)
         feats = mean_pool(self.emb, ids, wc)
-        probs = softmax(feats @ self.w + self.b)
+        # linear head as an explicit fixed-order sum over dim, NOT `feats @ w`:
+        # BLAS picks blocking/FMA kernels by matrix shape, so a gemm's per-row
+        # result can differ in the last ulp between batch layouts — which
+        # breaks the partition-invariance contract this scorer is held to
+        # (identical scores under any repartitioning)
+        logits = np.broadcast_to(self.b.astype(np.float64), (len(wc), len(self.labels))).copy()
+        for k in range(self.emb.shape[1]):
+            logits += feats[:, k, None].astype(np.float64) * self.w[k].astype(np.float64)
+        probs = softmax(logits)
         top = probs.argmax(axis=1)
-        return top, probs[np.arange(len(wc)), top].astype(np.float64)
+        return top, probs[np.arange(len(wc)), top]
 
 
 def load_fasttext_model(model_path: str):
