@@ -89,10 +89,30 @@ def cross_doc_repeated_spans(texts: list[str], min_len: int) -> set[tuple[int, i
         i = int(np.searchsorted(ends, p, side="right"))
         return i if i < len(starts) and p >= starts[i] else -1
 
+    # Any two suffixes inside a maximal run of consecutive SA entries with
+    # lcp >= min_len share a prefix of length >= min_len (pairwise LCP is the
+    # interval minimum), so emit ALL distinct-doc pairs per run — adjacent
+    # pairs alone miss transitive ones (e.g. three identical docs would yield
+    # only (0,1),(1,2) and drop (0,2)).
     pairs: set[tuple[int, int]] = set()
+    run_docs: set[int] = set()
     for r in range(1, len(sa)):
         if lcp[r] >= min_len:
-            a, b = doc_id(int(sa[r])), doc_id(int(sa[r - 1]))
-            if a >= 0 and b >= 0 and a != b:
-                pairs.add((min(a, b), max(a, b)))
+            if not run_docs:
+                d = doc_id(int(sa[r - 1]))
+                if d >= 0:
+                    run_docs.add(d)
+            d = doc_id(int(sa[r]))
+            if d >= 0:
+                run_docs.add(d)
+        else:
+            for a in run_docs:
+                for b in run_docs:
+                    if a < b:
+                        pairs.add((a, b))
+            run_docs.clear()
+    for a in run_docs:
+        for b in run_docs:
+            if a < b:
+                pairs.add((a, b))
     return pairs
