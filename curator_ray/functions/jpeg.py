@@ -378,7 +378,19 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (h, w, 3) RGB (or grayscale->RGB)."""
+    """Decode a baseline sequential JPEG to (h, w, 3) RGB (or grayscale->RGB).
+
+    Malformed streams always raise ValueError (or NotImplementedError for
+    valid-but-unsupported variants): a corrupt payload must surface as the
+    per-row error the decode stages catch, never a raw KeyError/IndexError
+    from a bogus table id or truncated segment."""
+    try:
+        return _decode_jpeg(data)
+    except (KeyError, IndexError, StopIteration, ZeroDivisionError) as exc:
+        raise ValueError(f"corrupt JPEG stream: {type(exc).__name__} {exc}") from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qts: dict[int, np.ndarray] = {}

@@ -73,6 +73,18 @@ def _find(b: bytes, start: int, end: int, path: list[bytes]) -> tuple[int, int] 
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 
+def _need(n_entries: int, entry_size: int, table_start: int, box_end: int, cc: bytes) -> None:
+    """Bound a sample-table entry count against its box payload: a truncated
+    or corrupt table must surface as ValueError (the error the stages catch
+    per row), never struct.error or a multi-GB list allocation from a bogus
+    32-bit count."""
+    if n_entries < 0 or table_start + n_entries * entry_size > box_end:
+        raise ValueError(
+            f"corrupt {cc.decode('ascii', 'replace')} box: {n_entries} entries "
+            "exceed the box payload"
+        )
+
+
 def _walk(b: bytes, start: int, end: int, out: dict) -> None:
     for cc, s, e in _boxes(b, start, end):
         if cc in _CONTAINERS:
@@ -103,6 +115,7 @@ def _walk(b: bytes, start: int, end: int, out: dict) -> None:
             cur["media_timescale"], cur["media_duration"] = mts, mdur
         elif cc == b"stts":
             (n,) = struct.unpack_from(">I", b, s + 4)
+            _need(n, 8, s + 8, e, cc)
             counts = 0
             for i in range(n):
                 cnt, _delta = struct.unpack_from(">II", b, s + 8 + 8 * i)
@@ -118,18 +131,25 @@ def _walk(b: bytes, start: int, end: int, out: dict) -> None:
             sample_size, n = struct.unpack_from(">II", b, s + 4)
             cur = out.get("_cur", out)
             if sample_size:
+                # fixed-size form carries no table to bound against; the
+                # samples themselves must fit in the file
+                if n < 0 or sample_size * n > len(b):
+                    raise ValueError(f"corrupt stsz box: {n} x {sample_size} B samples")
                 cur["sample_sizes"] = [sample_size] * n
             else:
+                _need(n, 4, s + 12, e, cc)
                 cur["sample_sizes"] = list(
                     struct.unpack_from(f">{n}I", b, s + 12)
                 )
         elif cc in (b"stco", b"co64"):
             (n,) = struct.unpack_from(">I", b, s + 4)
+            _need(n, 4 if cc == b"stco" else 8, s + 8, e, cc)
             fmt = ">%d%s" % (n, "I" if cc == b"stco" else "Q")
             cur = out.get("_cur", out)
             cur["chunk_offsets"] = list(struct.unpack_from(fmt, b, s + 8))
         elif cc == b"stsc":
             (n,) = struct.unpack_from(">I", b, s + 4)
+            _need(n, 12, s + 8, e, cc)
             cur = out.get("_cur", out)
             cur["sample_to_chunk"] = [
                 struct.unpack_from(">III", b, s + 8 + 12 * i) for i in range(n)
@@ -143,7 +163,10 @@ def mp4_sample_ranges(b: bytes) -> list[tuple[int, int]]:
     (sample entry ``jpeg``) each range is one complete JFIF stream, so
     ``b[off:off+size]`` feeds the repo's own T.81 decoder directly."""
     out: dict = {}
-    _walk(b, 0, len(b), out)
+    try:
+        _walk(b, 0, len(b), out)
+    except struct.error as exc:  # truncated leaf box -> the stages' per-row error
+        raise ValueError(f"truncated MP4 box: {exc}") from exc
     trak = None
     for t in out.get("traks", []):
         if t.get("sample_sizes"):
@@ -182,7 +205,10 @@ def mp4_info(b: bytes) -> Mp4Info:
     ):
         raise ValueError("not an ISO BMFF stream")
     out: dict = {}
-    _walk(b, 0, len(b), out)
+    try:
+        _walk(b, 0, len(b), out)
+    except struct.error as exc:  # truncated leaf box -> the stages' per-row error
+        raise ValueError(f"truncated MP4 box: {exc}") from exc
     ts = out.get("timescale", 0)
     dur = out.get("duration_units", 0) / ts if ts else 0.0
     # pick the first track carrying video-shaped metadata
@@ -211,29 +237,46 @@ def _box(fourcc: bytes, payload: bytes) -> bytes:
     return struct.pack(">I4s", 8 + len(payload), fourcc) + payload
 
 
-def write_minimal_mp4(
+# units per frame at the media timescale (media_ts = framerate * 1000, so
+# each frame's stts delta is an integer and parsed fps is exact for any
+# rational framerate with millihertz precision)
+_FRAME_DELTA = 1000
+
+
+def _sample_entry(codec: bytes, width: int, height: int) -> bytes:
+    """stsd box holding one visual sample entry of the given fourcc."""
+    return _box(
+        b"stsd",
+        struct.pack(">B3xI", 0, 1)
+        + _box(
+            codec,
+            b"\x00" * 6
+            + struct.pack(">H", 1)
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + b"\x00" * 50,
+        ),
+    )
+
+
+def _mux(
     num_frames: int,
     framerate: float,
     width: int,
     height: int,
-    codec: bytes = b"avc1",
-    timescale: int = 600,
+    timescale: int,
+    stbl: bytes,
+    mdat: bytes,
 ) -> bytes:
-    """Structurally valid MP4 with correct metadata and no codec payload.
-
-    The media timescale is set so each frame's stts delta is an integer
-    (``media_timescale = framerate * 1000``), keeping parsed fps exact for
-    any rational framerate with millihertz precision.
-    """
+    """Assemble ftyp + mdat + moov around a finished sample table — the
+    header boxes (mvhd/tkhd/mdhd/hdlr/vmhd) shared by both writers."""
     media_ts = int(round(framerate * 1000))
-    delta = 1000  # units per frame at media_ts
-    media_dur = num_frames * delta
+    media_dur = num_frames * _FRAME_DELTA
     dur_units = int(round(num_frames / framerate * timescale)) if framerate else 0
-
     mvhd = _box(
         b"mvhd",
         struct.pack(">B3xIIII", 0, 0, 0, timescale, dur_units)
-        + struct.pack(">IH2x8x36xI24x", 0x00010000, 0x0100, 2)  # rate/volume/matrix pad/next_track
+        + struct.pack(">IH2x8x36xI24x", 0x00010000, 0x0100, 2),  # rate/volume/matrix pad/next_track
     )
     tkhd = _box(
         b"tkhd",
@@ -245,20 +288,34 @@ def write_minimal_mp4(
     )
     mdhd = _box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, media_ts, media_dur, 0x55C4, 0))
     hdlr = _box(b"hdlr", struct.pack(">B3xI4s12x", 0, 0, b"vide") + b"video\x00")
-    stsd = _box(
-        b"stsd",
-        struct.pack(">B3xI", 0, 1)
-        + _box(codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16 + struct.pack(">HH", width, height) + b"\x00" * 50),
-    )
-    stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, num_frames, delta))
-    stbl = _box(b"stbl", stsd + stts + _box(b"stsc", struct.pack(">B3xI", 0, 0)) + _box(b"stsz", struct.pack(">B3xII", 0, 0, 0)) + _box(b"stco", struct.pack(">B3xI", 0, 0)))
     minf = _box(b"minf", _box(b"vmhd", struct.pack(">B3xHHHH", 0, 1, 0, 0, 0)) + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
-    mdat = _box(b"mdat", b"")
-    return ftyp + mdat + moov
+    return _FTYP + mdat + moov
+
+
+_FTYP = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+
+
+def write_minimal_mp4(
+    num_frames: int,
+    framerate: float,
+    width: int,
+    height: int,
+    codec: bytes = b"avc1",
+    timescale: int = 600,
+) -> bytes:
+    """Structurally valid MP4 with correct metadata and no codec payload."""
+    stbl = _box(
+        b"stbl",
+        _sample_entry(codec, width, height)
+        + _box(b"stts", struct.pack(">B3xIII", 0, 1, num_frames, _FRAME_DELTA))
+        + _box(b"stsc", struct.pack(">B3xI", 0, 0))
+        + _box(b"stsz", struct.pack(">B3xII", 0, 0, 0))
+        + _box(b"stco", struct.pack(">B3xI", 0, 0)),
+    )
+    return _mux(num_frames, framerate, width, height, timescale, stbl, _box(b"mdat", b""))
 
 
 def write_mjpeg_mp4(
@@ -279,54 +336,18 @@ def write_mjpeg_mp4(
     :func:`write_minimal_mp4` with real stsz/stsc/stco tables.
     """
     num_frames = len(frames)
-    media_ts = int(round(framerate * 1000))
-    delta = 1000
-    media_dur = num_frames * delta
-    dur_units = int(round(num_frames / framerate * timescale)) if framerate else 0
-
-    payload = b"".join(frames)
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
-    mdat = _box(b"mdat", payload)
-    mdat_payload_off = len(ftyp) + 8
-
-    mvhd = _box(
-        b"mvhd",
-        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur_units)
-        + struct.pack(">IH2x8x36xI24x", 0x00010000, 0x0100, 2),
-    )
-    tkhd = _box(
-        b"tkhd",
-        struct.pack(">B3xIIII4x", 7, 0, 0, 1, dur_units)
-        + b"\x00" * 8
-        + struct.pack(">HHHH", 0, 0, 0, 0)
-        + b"\x00" * 36
-        + struct.pack(">II", width << 16, height << 16),
-    )
-    mdhd = _box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, media_ts, media_dur, 0x55C4, 0))
-    hdlr = _box(b"hdlr", struct.pack(">B3xI4s12x", 0, 0, b"vide") + b"video\x00")
-    stsd = _box(
-        b"stsd",
-        struct.pack(">B3xI", 0, 1)
+    mdat = _box(b"mdat", b"".join(frames))
+    mdat_payload_off = len(_FTYP) + 8  # moov follows mdat, so this is stable
+    stbl = _box(
+        b"stbl",
+        _sample_entry(b"jpeg", width, height)
+        + _box(b"stts", struct.pack(">B3xIII", 0, 1, num_frames, _FRAME_DELTA))
+        + _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, num_frames, 1))
         + _box(
-            b"jpeg",
-            b"\x00" * 6
-            + struct.pack(">H", 1)
-            + b"\x00" * 16
-            + struct.pack(">HH", width, height)
-            + b"\x00" * 50,
-        ),
+            b"stsz",
+            struct.pack(">B3xII", 0, 0, num_frames)
+            + struct.pack(f">{num_frames}I", *[len(f) for f in frames]),
+        )
+        + _box(b"stco", struct.pack(">B3xII", 0, 1, mdat_payload_off)),
     )
-    stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, num_frames, delta))
-    stsc = _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, num_frames, 1))
-    stsz = _box(
-        b"stsz",
-        struct.pack(">B3xII", 0, 0, num_frames)
-        + struct.pack(f">{num_frames}I", *[len(f) for f in frames]),
-    )
-    stco = _box(b"stco", struct.pack(">B3xII", 0, 1, mdat_payload_off))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    minf = _box(b"minf", _box(b"vmhd", struct.pack(">B3xHHHH", 0, 1, 0, 0, 0)) + stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
+    return _mux(num_frames, framerate, width, height, timescale, stbl, mdat)

@@ -1137,6 +1137,8 @@ def parse_diar_segments(raw_segments: list) -> list[dict]:
     for seg in raw_segments:
         if isinstance(seg, str):
             parts = seg.strip().split()
+            if len(parts) < 2:  # malformed diarizer line: skip, don't crash
+                continue
             out.append(
                 {
                     "start": float(parts[0]),

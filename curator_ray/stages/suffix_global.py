@@ -741,7 +741,13 @@ def suffix_array_candidate_edges(
         functools.partial(_doc_mapping, id_field=id_field, info_ref=info_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
+    # mapping is 16 B/doc and is not consumed until the final edge
+    # translation: materializing it NOW (and dropping the docs handle)
+    # releases the O(corpus bytes) text blocks as soon as round 1 reads
+    # them, instead of pinning the whole corpus in plasma through every
+    # sort round via mapping's lazy lineage
+    del docs
     steps = _schedule(min_match_length)
     for i, k in enumerate(steps):
         final = i == len(steps) - 1

@@ -219,7 +219,7 @@ def clip_frame_indices_stage(ds, target_fps: float = 2.0):
 # ------------------------------------------------------- clip buffers/frames
 
 
-def mjpeg_clip_remux_stage(ds, video_field: str = "video"):
+def mjpeg_clip_remux_stage(ds, video_field: str = "video", id_field: str = "video_id"):
     """Cut each clip's own standalone buffer out of its parent video by
     stream copy (reference ``ClipTranscodingStage``,
     ``clipping/clip_extraction_stages.py:28-250`` — ffmpeg-bound there, so
@@ -240,9 +240,18 @@ def mjpeg_clip_remux_stage(ds, video_field: str = "video"):
     def fn(batch: pa.Table) -> pa.Table:
         sf = batch.column("start_frame").to_numpy(zero_copy_only=False)
         ef = batch.column("end_frame").to_numpy(zero_copy_only=False)
+        # cheap parent-cache key: the id column when the clips carry one
+        # (fixed_stride_clip_stage always emits video_id); falling back to
+        # the bytes themselves costs an O(video size) memcmp per clip row
+        ids = (
+            batch.column(id_field).to_pylist()
+            if id_field and id_field in batch.schema.names
+            else None
+        )
         bufs: list[bytes | None] = []
         errs: list[str | None] = []
-        prev_blob: bytes | None = None
+        prev_key: object = None
+        have_prev = False
         prev: tuple[list[tuple[int, int]], float, int, int] | None = None
         prev_err = "metadata"
         for i, blob in enumerate(batch.column(video_field)):
@@ -251,7 +260,8 @@ def mjpeg_clip_remux_stage(ds, video_field: str = "video"):
                 bufs.append(None)
                 errs.append("empty")
                 continue
-            if b != prev_blob:  # consecutive clips share a parent video
+            key = ids[i] if ids is not None else b
+            if not have_prev or key != prev_key:  # consecutive clips share a parent
                 try:
                     info = mp4_info(b)
                     if info.video_codec != "jpeg":
@@ -260,13 +270,21 @@ def mjpeg_clip_remux_stage(ds, video_field: str = "video"):
                 except ValueError as exc:
                     prev = None
                     prev_err = "codec" if "MJPEG" in str(exc) else "metadata"
-                prev_blob = b
+                prev_key = key
+                have_prev = True
             if prev is None:
                 bufs.append(None)
                 errs.append(prev_err)
                 continue
             ranges, fps, w, h = prev
             lo, hi = int(sf[i]), min(int(ef[i]), len(ranges))
+            if hi <= lo:
+                # the clip's frame span lies past the sample table (e.g. stts
+                # advertises more frames than stsz carries): error row, not a
+                # 0-sample MP4 the extraction stage would choke on
+                bufs.append(None)
+                errs.append("no_frames")
+                continue
             frames = [b[off : off + sz] for off, sz in ranges[lo:hi]]
             bufs.append(write_mjpeg_mp4(frames, fps, w, h))
             errs.append(None)
@@ -385,36 +403,64 @@ class ClipFrameExtraction:
                 fc_col.append(len(frames))
             err_col.append(err)
 
+        prior_errs = (
+            batch.column("errors").to_pylist() if "errors" in batch.schema.names else None
+        )
         for i, blob in enumerate(batch.column(self.buffer_field)):
             buf = blob.as_py()
             if not buf:
+                # keep the remux stage's failure label (codec/metadata/
+                # no_frames) instead of flattening every null buffer to
+                # "empty" — the reference's per-clip error dict fidelity
+                err0 = (prior_errs[i] if prior_errs else None) or "empty"
                 for policy in self.policies:
                     for fps in self.target_fps:
-                        emit(i, f"FrameExtractionPolicy.{policy}-{int(fps * 1000)}", None, "empty")
+                        emit(i, f"FrameExtractionPolicy.{policy}-{int(fps * 1000)}", None, err0)
                 continue
-            for policy in self.policies:
-                if policy == "sequence" and self.use_lcm:
-                    import math
+            mark = len(rows_idx)  # rollback point if decode fails mid-row
+            try:
+                for policy in self.policies:
+                    if policy == "sequence" and self.use_lcm:
+                        import math
 
-                    lcm = float(math.lcm(*[int(f) for f in self.target_fps]))
-                    frames, _ = self._decode(buf, lcm)
+                        # decode ONCE at the fps LCM, stride-slice per target —
+                        # the reference's decode-cost optimization, including
+                        # its artifact: when the LCM does not divide the track
+                        # fps the sampled indices differ from the per-fps path
+                        # (clip_frame_extraction.py:86-108 slices the same way)
+                        lcm = float(math.lcm(*[int(f) for f in self.target_fps]))
+                        frames, _ = self._decode(buf, lcm)
+                        for fps in self.target_fps:
+                            emit(
+                                i,
+                                f"FrameExtractionPolicy.{policy}-{int(fps * 1000)}",
+                                frames[:: int(lcm / fps)],
+                                None,
+                            )
+                        continue
+                    for fps in self.target_fps:
+                        frames, _ = self._decode(buf, fps)
+                        if policy == "first":
+                            frames = frames[:1]
+                        elif policy == "middle":
+                            frames = frames[len(frames) // 2 : len(frames) // 2 + 1]
+                        elif policy == "last":
+                            frames = frames[-1:]
+                        emit(i, f"FrameExtractionPolicy.{policy}-{int(fps * 1000)}", frames, None)
+            except (ValueError, OSError, RuntimeError):
+                # undecodable buffer -> error rows, batch survives (reference
+                # clip_frame_extraction.py:124-129; NotImplementedError — the
+                # non-MJPEG codec gate — still raises: that is a config error)
+                for col in (rows_idx, sig_col, frames_col, fh_col, fw_col, fc_col, err_col):
+                    del col[mark:]
+                for policy in self.policies:
                     for fps in self.target_fps:
                         emit(
                             i,
                             f"FrameExtractionPolicy.{policy}-{int(fps * 1000)}",
-                            frames[:: int(lcm / fps)],
                             None,
+                            "video_decode_failed",
                         )
-                    continue
-                for fps in self.target_fps:
-                    frames, _ = self._decode(buf, fps)
-                    if policy == "first":
-                        frames = frames[:1]
-                    elif policy == "middle":
-                        frames = frames[len(frames) // 2 : len(frames) // 2 + 1]
-                    elif policy == "last":
-                        frames = frames[-1:]
-                    emit(i, f"FrameExtractionPolicy.{policy}-{int(fps * 1000)}", frames, None)
 
         idx = pa.array(rows_idx, pa.int64())
         out = batch.select(keep).take(idx)

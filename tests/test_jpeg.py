@@ -104,3 +104,25 @@ def test_decode_stage_handles_jpeg(ray_session):
     for row, im in zip(sorted(out, key=lambda r: r["image_id"]), imgs):
         got = np.asarray(row["pixels"], dtype=np.uint8).reshape(16, 16, 3)
         assert psnr(im, got) >= 40.0
+
+
+def test_corrupt_stream_raises_valueerror_not_keyerror():
+    """Any malformed payload must surface as ValueError (the per-row error
+    the decode stages catch), never a raw KeyError/IndexError from a bogus
+    table id or truncated segment."""
+    import numpy as np
+
+    from curator_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.zeros((16, 16, 3), np.uint8))
+    # zero out 40 bytes right after SOI: wipes the DQT/DHT headers the scan
+    # later references (previously escaped as KeyError from qts[tq])
+    bad = good[:8] + b"\x00" * 40 + good[48:]
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(bad)
+    # truncate at every depth: ValueError / NotImplementedError only
+    for cut in range(1, len(good), 37):
+        try:
+            decode_jpeg(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass

@@ -294,3 +294,100 @@ def test_clip_frame_extraction_lcm_and_target_res():
     )
     err = clip_frame_extraction_stage(empty, concurrency=(1, 1)).take_all()
     assert err[0]["errors"] == "empty" and err[0]["frames"] is None
+
+
+# ------------------------------------------------- corrupt-input hardening
+
+
+def test_mp4_corrupt_sample_tables_raise_valueerror():
+    """Truncated or count-corrupted sample tables must surface as ValueError
+    (the error the stages catch per row), never struct.error or a huge
+    bogus-count allocation."""
+    from curator_ray.functions.jpeg import encode_jpeg
+    from curator_ray.functions.mp4 import mp4_sample_ranges, write_mjpeg_mp4
+
+    frames = [encode_jpeg(np.zeros((16, 16, 3), np.uint8))] * 3
+    good = write_mjpeg_mp4(frames, 10.0, 16, 16)
+
+    # corrupt the stsz entry count (payload: ver/flags, sample_size, count)
+    i = good.index(b"stsz")
+    bad = bytearray(good)
+    bad[i + 12 : i + 16] = (0x00FFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        mp4_info(bytes(bad))
+
+    # truncation at any depth: either parses to a shorter table or raises
+    # ValueError — never an uncaught struct.error
+    for cut in range(1, 60):
+        try:
+            mp4_info(good[:-cut])
+            mp4_sample_ranges(good[:-cut])
+        except ValueError:
+            pass
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remux_and_extraction_error_rows():
+    """Per-row failures become error rows (reference per-clip error dict):
+    spans past the sample table -> no_frames; remux labels survive
+    extraction; an undecodable JPEG payload -> video_decode_failed without
+    killing the batch."""
+    import ray
+
+    from curator_ray.functions.jpeg import encode_jpeg
+    from curator_ray.functions.mp4 import write_mjpeg_mp4
+    from curator_ray.stages.video import (
+        clip_frame_extraction_stage,
+        mjpeg_clip_remux_stage,
+    )
+
+    ok_buf = write_mjpeg_mp4(
+        [encode_jpeg(np.zeros((16, 16, 3), np.uint8))] * 3, 10.0, 16, 16
+    )
+    junk_buf = write_mjpeg_mp4([b"\xff\xd8 not a jpeg stream"], 10.0, 16, 16)
+    clips = pa.table(
+        {
+            "clip_id": ["good", "past_end", "trunc"],
+            "video_id": ["va", "va", "vb"],
+            "start_frame": pa.array([0, 5, 0], pa.int64()),
+            "end_frame": pa.array([2, 8, 2], pa.int64()),
+            "video": pa.array([ok_buf, ok_buf, ok_buf[:-20]], pa.binary()),
+        }
+    )
+    out = {
+        r["clip_id"]: r
+        for r in mjpeg_clip_remux_stage(ray.data.from_arrow(clips)).take_all()
+    }
+    assert out["good"]["errors"] is None and out["good"]["clip_buffer"]
+    assert out["past_end"]["errors"] == "no_frames"
+    assert out["past_end"]["clip_buffer"] is None
+    assert out["trunc"]["errors"] in ("metadata", "codec")
+
+    # extraction keeps the remux label for null buffers, emits
+    # video_decode_failed for the junk payload, and the batch survives
+    rows = pa.table(
+        {
+            "clip_id": ["g", "j", "n"],
+            "clip_buffer": pa.array([ok_buf, junk_buf, None], pa.binary()),
+            "errors": pa.array([None, None, "no_frames"], pa.string()),
+        }
+    )
+    got = {
+        r["clip_id"]: r
+        for r in clip_frame_extraction_stage(
+            ray.data.from_arrow(rows), target_fps=(10.0,), concurrency=(1, 1)
+        ).take_all()
+    }
+    assert got["g"]["errors"] is None and got["g"]["frame_count"] == 3
+    assert got["j"]["errors"] == "video_decode_failed" and got["j"]["frames"] is None
+    assert got["n"]["errors"] == "no_frames"
+
+
+def test_parse_diar_segments_skips_malformed():
+    from curator_ray.stages.audio import parse_diar_segments
+
+    segs = parse_diar_segments(["1.0", "", "0.5 2.0 spk1", "3.0 4.0"])
+    assert segs == [
+        {"start": 0.5, "end": 2.0, "speaker": "spk1"},
+        {"start": 3.0, "end": 4.0, "speaker": "unknown"},
+    ]
