@@ -323,3 +323,60 @@ def test_minhash_batch_invariance(texts):
     whole = minhash_signatures(texts, _SEEDS, char_ngram=5)
     for k, t in enumerate(texts):
         np.testing.assert_array_equal(whole[k], minhash_signatures([t], _SEEDS, char_ngram=5)[0])
+
+
+# ---------------------------------------------------------------- MP4 muxer
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_frames=st.integers(1, 12),
+    fps_milli=st.integers(500, 60000),  # 0.5 .. 60 fps at millihertz precision
+    w=st.integers(1, 4096),
+    h=st.integers(1, 4096),
+    sizes=st.lists(st.integers(1, 300), min_size=12, max_size=12),
+)
+def test_mp4_mux_demux_roundtrip(n_frames, fps_milli, w, h, sizes):
+    """write_mjpeg_mp4 -> (mp4_info, mp4_sample_ranges) recovers the frame
+    count, dimensions, millihertz-exact framerate, and the exact bytes of
+    every sample for arbitrary payload sizes."""
+    from curator_ray.functions.mp4 import mp4_info, mp4_sample_ranges, write_mjpeg_mp4
+
+    rng = np.random.default_rng(sum(sizes) + n_frames)
+    frames = [rng.integers(0, 256, sizes[i], dtype=np.uint8).tobytes() for i in range(n_frames)]
+    fps = fps_milli / 1000.0
+    b = write_mjpeg_mp4(frames, fps, w, h)
+    info = mp4_info(b)
+    assert info.num_frames == n_frames
+    assert (info.width, info.height) == (w, h)
+    assert abs(info.framerate - fps) < 5e-4  # millihertz-exact media timescale
+    ranges = mp4_sample_ranges(b)
+    assert [b[o : o + s] for o, s in ranges] == frames
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_frames=st.integers(1, 10),
+    cut=st.integers(1, 200),
+    flip_at=st.integers(0, 10_000),
+    flip_to=st.integers(0, 255),
+)
+def test_mp4_parser_total_on_mutations(n_frames, cut, flip_at, flip_to):
+    """Truncation or a single-byte flip anywhere in a valid file either
+    parses or raises ValueError — never struct.error, KeyError, or an
+    unbounded allocation."""
+    from curator_ray.functions.mp4 import mp4_info, mp4_sample_ranges, write_mjpeg_mp4
+
+    frames = [bytes([i] * (20 + i)) for i in range(n_frames)]
+    good = write_mjpeg_mp4(frames, 24.0, 64, 64)
+    mutants = [good[: max(8, len(good) - cut)]]
+    if flip_at < len(good):
+        m = bytearray(good)
+        m[flip_at] = flip_to
+        mutants.append(bytes(m))
+    for m in mutants:
+        for fn in (mp4_info, mp4_sample_ranges):
+            try:
+                fn(m)
+            except ValueError:
+                pass
