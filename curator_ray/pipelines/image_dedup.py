@@ -37,7 +37,7 @@ from ..stages.minhash import minhash_stage
 from ..stages.removal import remove_by_ids
 from ..stages.simhash import simhash_candidate_edges
 from ..stages.substring import substring_candidate_edges
-from ..state.manifest import CheckpointManifest, fingerprint
+from ..state.manifest import CheckpointManifest, checkpointed, dir_counters, fingerprint
 
 EDGES_EMPTY = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
 
@@ -47,42 +47,11 @@ EDGES_EMPTY = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.
 REMOVAL_BROADCAST_MAX = 10_000_000
 
 
-def _checkpointed(manifest: CheckpointManifest | None, stage: str, part: str, fp: str, out_dir: str, build):
-    """Run ``build() -> Dataset`` and persist to ``out_dir`` unless the
-    manifest already records this (stage, partition, fingerprint)."""
-    import ray
-
-    if manifest is not None and manifest.is_complete(stage, part, fp):
-        return ray.data.read_parquet(out_dir)
-    ds = build()
-    # an interrupted previous attempt may have left partial files: the
-    # manifest record (written after the write) is the commit point, so a
-    # rebuild always starts from an empty stage directory
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
-    # coalesce: signature/edge stages emit many small blocks (one per band
-    # wave / sort partition); without a floor the checkpoint dir gets one
-    # file per block (PERF.md "Known costs") and the resume re-read pays
-    # per-file open cost. 32k rows ~ a few MB per file at signature widths.
-    ds.write_parquet(out_dir, min_rows_per_file=32_768)
-    out = ray.data.read_parquet(out_dir)
-    if manifest is not None:
-        manifest.record(stage, part, fp, counters=_dir_counters(out_dir, stage))
-    return out
-
-
-def _dir_counters(out_dir: str, stage: str) -> dict:
-    """Row/file counters from parquet footers (no extra Ray job)."""
-    import pyarrow.parquet as pq
-
-    rows = files = 0
-    for name in os.listdir(out_dir):
-        if name.endswith(".parquet"):
-            files += 1
-            rows += pq.ParquetFile(os.path.join(out_dir, name)).metadata.num_rows
-    return {f"{stage}_rows": rows, f"{stage}_files": files}
+# shared checkpoint-or-read helper and parquet-footer counters live with the
+# manifest (state/manifest.py); the suffix-array stage's per-round resume
+# (stages/suffix_global.py) uses the same machinery
+_checkpointed = checkpointed
+_dir_counters = dir_counters
 
 
 def image_dedup_workflow(
@@ -167,9 +136,21 @@ def image_dedup_workflow(
         # default: winnowed fingerprints (one shuffle — the 100 TB path);
         # substring_exact swaps in the distributed suffix-array stage
         # (stages/suffix_global.py): exact, hash-free, 2 sorts/round
-        sub_stage = substring_candidate_edges
         if substring_exact:
-            from ..stages.suffix_global import suffix_array_candidate_edges as sub_stage
+            from ..stages.suffix_global import suffix_array_candidate_edges
+
+            # the SA stage checkpoints each doubling round internally (2 full
+            # sorts/round at scale), so a crash mid-stage resumes at the last
+            # committed round, not from round 1
+            def sub_stage(ds, min_match_length):
+                return suffix_array_candidate_edges(
+                    ds,
+                    min_match_length=min_match_length,
+                    checkpoint_path=os.path.join(cache_dir, "sa_rounds"),
+                )
+
+        else:
+            sub_stage = substring_candidate_edges
         touched.append(("substring_edges", "all"))
         edge_sets.append(
             _checkpointed(

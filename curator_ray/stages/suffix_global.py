@@ -697,17 +697,84 @@ def _schedule(k_target: int) -> list[int]:
 _EMPTY_EDGES = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
 
 
+# bump when the (pos, rank) row layout or round semantics change: stale
+# checkpoints from an older layout must never be resumed into a newer build
+_CKPT_LAYOUT = "sa-packed-v1"
+
+
+def _corpus_fingerprint(summaries: pa.Table, min_match_length: int, emit: str) -> str:
+    """Deterministic fingerprint of (corpus blocks, config, row layout).
+    Block summaries are sorted by first doc id so block arrival order does
+    not matter; a different input *blocking* of the same rows changes the
+    fingerprint, which only costs resume coverage, never correctness."""
+    from ..state.manifest import fingerprint
+
+    f_id = summaries.column("f_id").to_numpy()
+    order = np.argsort(f_id, kind="stable")
+    trips = tuple(
+        (int(f_id[i]), int(summaries.column("n_rows")[i].as_py()), int(summaries.column("max_len")[i].as_py()))
+        for i in order
+    )
+    return fingerprint(_CKPT_LAYOUT, min_match_length, emit, trips)
+
+
+def _ckpt_round(manifest, i: int, fp: str, out_dir: str, build):
+    """Persist-or-resume one doubling round.  A fully-pruned round
+    (``build() -> None`` or a 0-row table — parquet writers emit no files
+    for those) is recorded as a zero-row manifest entry and returned as
+    ``None``: the non-checkpoint path reaches empty edges one round later
+    via an empty ``_round`` input, so collapsing early is equivalent."""
+    import os
+    import shutil
+
+    import ray
+
+    from ..state.manifest import dir_counters
+
+    stage, part = "sa_round", f"r{i}"
+    ent = manifest.entry(stage, part)
+    if ent is not None and ent.get("fingerprint") == fp:
+        if ent.get("counters", {}).get("sa_round_rows", 0) == 0:
+            return None
+        return ray.data.read_parquet(out_dir)
+
+    rows = build()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ctr = {"sa_round_rows": 0, "sa_round_files": 0}
+    if rows is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        rows.write_parquet(out_dir, min_rows_per_file=32_768)
+        ctr = dir_counters(out_dir, stage)
+    # the manifest record is the atomic commit point (after the write)
+    manifest.record(stage, part, fp, counters=ctr)
+    if ctr["sa_round_rows"] == 0:
+        return None
+    return ray.data.read_parquet(out_dir)
+
+
 def suffix_array_candidate_edges(
     ds,
     min_match_length: int = 40,
     text_field: str = "caption",
     id_field: str = "_id",
     emit: str = "star",
+    checkpoint_path: str | None = None,
 ):
     """Exact duplicate-span edges: (src, dst) doc-id pairs that share an exact
     byte span >= ``min_match_length``.  ``emit="star"`` (default) links each
     duplicated span's docs through a hub for the CC stage; ``emit="pairs"``
-    returns every sharing pair (verification/oracle mode — O(group^2))."""
+    returns every sharing pair (verification/oracle mode — O(group^2)).
+
+    ``checkpoint_path`` opts into mid-stage resume (the north rule's
+    per-partition lineage + counters): the doc mapping and every non-final
+    doubling round are persisted to parquet under it with a
+    ``CheckpointManifest`` entry per round carrying the post-prune row count
+    (the pruning curve), keyed by a fingerprint of (corpus block summaries,
+    config, row layout).  A rerun after a crash recomputes only the rounds
+    after the last committed one — each round costs 2 full Dataset sorts, so
+    at scale a resumed run skips hours of shuffle.  Reference parity: the
+    reference's resumability is per-source-partition only
+    (``pipeline/pipeline.py:231-258``); this is strictly finer."""
     assert min_match_length >= 8, "suffix-array stage needs min_match_length >= 8"
     import ray
 
@@ -737,11 +804,34 @@ def suffix_array_candidate_edges(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    mapping = docs.map_batches(
-        functools.partial(_doc_mapping, id_field=id_field, info_ref=info_ref),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
+
+    manifest = None
+    corpus_fp = None
+    if checkpoint_path is not None:
+        import os
+
+        from ..state.manifest import CheckpointManifest, checkpointed, fingerprint
+
+        manifest = CheckpointManifest(os.path.join(checkpoint_path, "_checkpoints"))
+        corpus_fp = _corpus_fingerprint(summaries, min_match_length, emit)
+        mapping = checkpointed(
+            manifest,
+            "sa_mapping",
+            "all",
+            corpus_fp,
+            os.path.join(checkpoint_path, "mapping"),
+            lambda: docs.map_batches(
+                functools.partial(_doc_mapping, id_field=id_field, info_ref=info_ref),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+        )
+    else:
+        mapping = docs.map_batches(
+            functools.partial(_doc_mapping, id_field=id_field, info_ref=info_ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
     # mapping is 16 B/doc and is not consumed until the final edge
     # translation: materializing it NOW (and dropping the docs handle)
     # releases the O(corpus bytes) text blocks as soon as round 1 reads
@@ -751,7 +841,25 @@ def suffix_array_candidate_edges(
     steps = _schedule(min_match_length)
     for i, k in enumerate(steps):
         final = i == len(steps) - 1
-        rows = _round(rows, k, final=final, mode=emit, off_bits=off_bits)
+        if manifest is not None and not final:
+            import os
+
+            from ..state.manifest import fingerprint as _fp
+
+            # chain the fingerprint through the schedule position so a
+            # min_match_length change (different steps) can never resume a
+            # round computed under another schedule
+            fp_i = _fp(corpus_fp, i, k, tuple(steps))
+            rows_in = rows
+            rows = _ckpt_round(
+                manifest,
+                i,
+                fp_i,
+                os.path.join(checkpoint_path, f"round_{i}"),
+                lambda: _round(rows_in, k, final=False, mode=emit, off_bits=off_bits),
+            )
+        else:
+            rows = _round(rows, k, final=final, mode=emit, off_bits=off_bits)
         if rows is None:
             return ray.data.from_arrow(_EMPTY_EDGES)
     return _translate_edges(rows, mapping, n_docs)

@@ -74,6 +74,16 @@ class CheckpointManifest:
                     continue
         return out
 
+    def entry(self, stage: str, partition: str = "all") -> dict | None:
+        p = self._entry_path(stage, partition)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return None
+
     def counters(self, touched: list[tuple[str, str]] | None = None) -> dict:
         """Aggregate counters; with ``touched`` = [(stage, partition), ...],
         only those entries count — stale entries from earlier runs with
@@ -87,3 +97,41 @@ class CheckpointManifest:
             for k, v in (e.get("counters") or {}).items():
                 agg[k] = agg.get(k, 0) + v
         return agg
+
+
+def dir_counters(out_dir: str, stage: str) -> dict:
+    """Row/file counters from parquet footers (no extra Ray job)."""
+    import pyarrow.parquet as pq
+
+    rows = files = 0
+    for name in os.listdir(out_dir):
+        if name.endswith(".parquet"):
+            files += 1
+            rows += pq.ParquetFile(os.path.join(out_dir, name)).metadata.num_rows
+    return {f"{stage}_rows": rows, f"{stage}_files": files}
+
+
+def checkpointed(manifest: "CheckpointManifest | None", stage: str, part: str, fp: str, out_dir: str, build):
+    """Run ``build() -> Dataset`` and persist to ``out_dir`` unless the
+    manifest already records this (stage, partition, fingerprint)."""
+    import ray
+
+    if manifest is not None and manifest.is_complete(stage, part, fp):
+        return ray.data.read_parquet(out_dir)
+    ds = build()
+    # an interrupted previous attempt may have left partial files: the
+    # manifest record (written after the write) is the commit point, so a
+    # rebuild always starts from an empty stage directory
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    # coalesce: signature/edge stages emit many small blocks (one per band
+    # wave / sort partition); without a floor the checkpoint dir gets one
+    # file per block (PERF.md "Known costs") and the resume re-read pays
+    # per-file open cost. 32k rows ~ a few MB per file at signature widths.
+    ds.write_parquet(out_dir, min_rows_per_file=32_768)
+    out = ray.data.read_parquet(out_dir)
+    if manifest is not None:
+        manifest.record(stage, part, fp, counters=dir_counters(out_dir, stage))
+    return out
