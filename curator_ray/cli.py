@@ -29,6 +29,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--minhashes-per-band", type=int, default=13)
     d.add_argument("--seed", type=int, default=42)
     d.add_argument("--no-substring", action="store_true")
+    d.add_argument(
+        "--substring-exact",
+        action="store_true",
+        help="use the distributed suffix-array exact-substring stage (checkpointed "
+        "per doubling round) instead of the default winnowed fingerprints",
+    )
+    d.add_argument("--substring-min-length", type=int, default=50)
     d.add_argument("--no-survivors", action="store_true")
     d.add_argument("--no-checkpoint", action="store_true")
 
@@ -101,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
         args.output,
         fuzzy=cfg,
         use_substring=not args.no_substring,
+        substring_exact=args.substring_exact,
+        substring_min_length=args.substring_min_length,
         write_survivors=not args.no_survivors,
         checkpoint=not args.no_checkpoint,
     )
