@@ -196,6 +196,18 @@ def image_dedup_workflow(
             manifest.record("survivors", "all", surv_fp, counters={"survivors": n_surv})
         counters["survivors"] = manifest.counters(touched).get("survivors", 0)
     counters.update(manifest.counters(touched))
+    if substring_exact:
+        # the suffix-array stage keeps its own per-round manifest (mid-stage
+        # resume); surface its pruning curve — post-prune rows per doubling
+        # round — as lineage in the workflow's counters
+        sa_m = CheckpointManifest(os.path.join(cache_dir, "sa_rounds", "_checkpoints"))
+        curve = {
+            e["partition"]: e.get("counters", {}).get("sa_round_rows", 0)
+            for e in sa_m.entries()
+            if e.get("stage") == "sa_round"
+        }
+        if curve:
+            counters["sa_pruning_curve"] = dict(sorted(curve.items()))
     return counters
 
 

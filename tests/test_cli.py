@@ -28,6 +28,9 @@ def test_cli_dedup_substring_exact_and_rerun(ray_session, tmp_path, capsys):
     assert main(args) == 0
     c1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert c1["num_duplicates"] > 0
+    # lineage: the SA stage's per-round post-prune row counts surface in the
+    # workflow counters (and stay JSON-serializable for the CLI)
+    assert c1["sa_pruning_curve"]["r0"] > 0
 
     # the SA stage's per-round checkpoints were written under the cache
     sa_ck = os.path.join(out, "_cache", "sa_rounds", "_checkpoints")
