@@ -17,10 +17,24 @@ from ..config import FuzzyDedupConfig
 from ..stages.cc import connected_components, removal_ids
 from ..stages.lsh import lsh_candidate_edges
 from ..stages.minhash import minhash_stage
+from ..state.manifest import CheckpointManifest, checkpointed, fingerprint
 
 
-def fuzzy_candidate_edges(ds_with_ids, cfg: FuzzyDedupConfig, cache_dir: str | None = None):
-    """Input (with ``cfg.id_field``) -> candidate duplicate edge Dataset."""
+def fuzzy_candidate_edges(
+    ds_with_ids,
+    cfg: FuzzyDedupConfig,
+    cache_dir: str | None = None,
+    input_fingerprint: object | None = None,
+):
+    """Input (with ``cfg.id_field``) -> candidate duplicate edge Dataset.
+
+    ``input_fingerprint`` (any stable identity of the input — a path, a row
+    count + config, ...) opts the signature cache into manifest-skipped
+    resume: a rerun with the same fingerprint reads the cached signatures
+    instead of recomputing them (the reference FuzzyDeduplicationWorkflow's
+    cache_path semantics). Without it the cache is write-through only —
+    a bare ``cache_dir`` cannot prove the cached parquet matches THIS input,
+    so it is never silently reused."""
     import ray
 
     sig = minhash_stage(ds_with_ids, cfg)
@@ -28,11 +42,23 @@ def fuzzy_candidate_edges(ds_with_ids, cfg: FuzzyDedupConfig, cache_dir: str | N
     single_wave = step >= cfg.num_bands
     if cache_dir:
         sig_path = os.path.join(cache_dir, "minhash")
-        os.makedirs(sig_path, exist_ok=True)
-        # 16k rows/file: ~1 KB/row of signature ints -> ~16 MB files instead
-        # of one file per upstream block (see image_dedup._checkpointed)
-        sig.write_parquet(sig_path, min_rows_per_file=16_384)
-        sig = ray.data.read_parquet(sig_path)
+        if input_fingerprint is not None:
+            manifest = CheckpointManifest(os.path.join(cache_dir, "_checkpoints"))
+            sig = checkpointed(
+                manifest,
+                "minhash",
+                "all",
+                fingerprint(input_fingerprint, cfg),
+                sig_path,
+                lambda: sig,
+            )
+        else:
+            os.makedirs(sig_path, exist_ok=True)
+            # 16k rows/file: ~1 KB/row of signature ints -> ~16 MB files
+            # instead of one file per upstream block (see state/manifest.py
+            # checkpointed)
+            sig.write_parquet(sig_path, min_rows_per_file=16_384)
+            sig = ray.data.read_parquet(sig_path)
     elif not single_wave:
         # multiple band waves re-consume the signatures; keep them lazy when
         # one wave covers all bands (the banding kernel reads them exactly
@@ -46,8 +72,15 @@ def fuzzy_candidate_edges(ds_with_ids, cfg: FuzzyDedupConfig, cache_dir: str | N
     return edges
 
 
-def fuzzy_duplicate_ids(ds_with_ids, cfg: FuzzyDedupConfig, cache_dir: str | None = None):
+def fuzzy_duplicate_ids(
+    ds_with_ids,
+    cfg: FuzzyDedupConfig,
+    cache_dir: str | None = None,
+    input_fingerprint: object | None = None,
+):
     """Input -> (removal_ids Dataset sorted by _id, labels Dataset or None)."""
-    edges = fuzzy_candidate_edges(ds_with_ids, cfg, cache_dir=cache_dir)
+    edges = fuzzy_candidate_edges(
+        ds_with_ids, cfg, cache_dir=cache_dir, input_fingerprint=input_fingerprint
+    )
     labels = connected_components(edges, cfg)
     return removal_ids(labels), labels

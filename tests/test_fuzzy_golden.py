@@ -98,3 +98,31 @@ def test_fuzzy_with_cache_dir(ray_session, tmp_path):
     removal, labels = fuzzy_duplicate_ids(_dataset(), cfg, cache_dir=str(tmp_path))
     assert removal.count() == 3
     assert (tmp_path / "minhash").exists()
+
+
+def test_fuzzy_cache_resume_with_fingerprint(ray_session, tmp_path):
+    cfg = FuzzyDedupConfig(seed=42, char_ngrams=5, num_bands=10, minhashes_per_band=1)
+    removal, _ = fuzzy_duplicate_ids(
+        _dataset(), cfg, cache_dir=str(tmp_path), input_fingerprint="corpus-v1"
+    )
+    assert removal.count() == 3
+
+    # same fingerprint: the cached signature parquet must be reused, not
+    # rewritten (the lazy minhash Dataset is built but never executed);
+    # evidence is the manifest short-circuit leaving every file untouched
+    import os
+
+    sig_dir = tmp_path / "minhash"
+    mtimes = {f: os.path.getmtime(sig_dir / f) for f in os.listdir(sig_dir)}
+    removal3, _ = fuzzy_duplicate_ids(
+        _dataset(), cfg, cache_dir=str(tmp_path), input_fingerprint="corpus-v1"
+    )
+    assert removal3.count() == 3
+    assert {f: os.path.getmtime(sig_dir / f) for f in os.listdir(sig_dir)} == mtimes
+
+    # different fingerprint: cache must be rebuilt, not silently reused
+    removal4, _ = fuzzy_duplicate_ids(
+        _dataset(), cfg, cache_dir=str(tmp_path), input_fingerprint="corpus-v2"
+    )
+    assert removal4.count() == 3
+    assert {f: os.path.getmtime(sig_dir / f) for f in os.listdir(sig_dir)} != mtimes
