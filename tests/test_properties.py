@@ -380,3 +380,34 @@ def test_mp4_parser_total_on_mutations(n_frames, cut, flip_at, flip_to):
                 fn(m)
             except ValueError:
                 pass
+
+
+# ------------------------------------------------- distributed SA simulation
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    n_docs=st.integers(2, 14),
+    k=st.sampled_from([8, 12, 20]),
+    bs=st.sampled_from([1, 3, 1000]),
+)
+def test_distributed_sa_simulation_matches_oracle(data, n_docs, k, bs):
+    """The pure block-function simulation of stages/suffix_global.py (every
+    kernel the Ray stage runs, at arbitrary block sizes including bs=1) must
+    reproduce the brute-force concatenated-SA oracle on hypothesis-generated
+    corpora — including planted shared spans, repeats, and empty docs."""
+    from test_suffix_global import sa_oracle_pairs, simulate
+
+    alphabet = st.sampled_from("ab x")
+    texts = [
+        data.draw(st.text(alphabet, min_size=0, max_size=40), label=f"doc{i}")
+        for i in range(n_docs)
+    ]
+    # plant one shared span in two docs so the non-empty case is exercised
+    span = data.draw(st.text(alphabet, min_size=k, max_size=k + 5), label="span")
+    if n_docs >= 2:
+        texts[0] += span
+        texts[-1] = span + texts[-1]
+    ids = list(range(101, 101 + n_docs))
+    assert simulate(texts, ids, k, bs, "pairs") == sa_oracle_pairs(texts, ids, k)

@@ -146,3 +146,22 @@ def test_fully_pruned_corpus_checkpoints_zero_rows(ray_session, tmp_path, monkey
     assert _run(docs, ids, tmp_path / "ck", k=16, nblocks=2) == set()
     # round 0's zero-row entry short-circuits the rerun before any round runs
     assert calls["n"] == 0
+
+
+def test_corpus_fingerprint_block_order_invariant():
+    """Resume safety linchpin: the fingerprint must not depend on summary-row
+    arrival order (Ray block order is not deterministic), must change with
+    any block content or config change, and must change with layout version."""
+    t = pa.table(
+        {
+            "f_id": pa.array([10, 3, 77], pa.int64()),
+            "n_rows": pa.array([5, 2, 9], pa.int64()),
+            "max_len": pa.array([40, 11, 23], pa.int64()),
+        }
+    )
+    perm = t.take(pa.array([2, 0, 1]))
+    assert sg._corpus_fingerprint(t, 40, "star") == sg._corpus_fingerprint(perm, 40, "star")
+    assert sg._corpus_fingerprint(t, 40, "star") != sg._corpus_fingerprint(t, 30, "star")
+    assert sg._corpus_fingerprint(t, 40, "star") != sg._corpus_fingerprint(t, 40, "pairs")
+    bigger = t.set_column(1, "n_rows", pa.array([5, 2, 10], pa.int64()))
+    assert sg._corpus_fingerprint(t, 40, "star") != sg._corpus_fingerprint(bigger, 40, "star")
