@@ -780,27 +780,107 @@ def q_video_frames(sf_dir: str):
 
 
 def q_interleaved_aspect(sf_dir: str):
-    """Interleaved family end-to-end, oracle-checked: derive multimodal
-    samples (metadata/text/image rows with real PNG payloads whose
-    dimensions follow a SQL-expressible rule), run the aspect-ratio filter
-    with header-only dimension reads, and the reference's post-filter
-    repair (position re-index, orphan-metadata drop). The SQL oracle
-    recomputes the keep set and re-indexed positions from the text length.
-    Reference: stages/interleaved/stages.py:67-176."""
+    """Interleaved family end-to-end, oracle-checked, two arms unioned:
+
+    (a) aspect-filter arm — derive multimodal samples (metadata/text/image
+    rows with real PNG payloads whose dimensions follow a SQL-expressible
+    rule), run the aspect-ratio filter with header-only dimension reads and
+    the reference's post-filter repair (position re-index, orphan-metadata
+    drop); the SQL oracle recomputes the keep set and positions from the
+    text length. Reference: stages/interleaved/stages.py:67-176.
+
+    (b) PDF arm (round 4) — write a real classic PDF per document with the
+    from-scratch codec (sanitized caption text + one planted 8x8 Flate RGB
+    image), run ``pdf_extract_stage`` (the nemotron_parse family's CPU
+    preprocess, stages/interleaved/pdf/nemotron_parse/preprocess.py:41 +
+    utils.py:328), and emit interleaved rows whose text/positions/metadata
+    JSON the SQL oracle reproduces from ``documents.text``; the planted
+    image pixels are verified in-query (PNG decode == generator — the
+    ``approx_ann_recall`` verdict pattern) and surface as the image row's
+    ``pixok=true`` text, which the oracle states as a constant."""
     from curator_ray.stages.interleaved import (
         aspect_ratio_filter_stage,
         derive_interleaved_table,
     )
+    from curator_ray.stages.pdf import pdf_extract_stage
 
-    ds = derive_interleaved_table(_read(sf_dir, "documents"))
+    docs = _read(sf_dir, "documents")
+    ds = derive_interleaved_table(docs)
     out = aspect_ratio_filter_stage(ds)
 
-    def proj(b: pa.Table) -> pa.Table:
-        return b.select(["sample_id", "position", "modality", "content_type", "text_content"])
-
-    return out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True).sort(
-        ["sample_id", "position"]
+    _proj_schema = pa.schema(
+        [
+            ("sample_id", pa.string()),
+            ("position", pa.int64()),
+            ("modality", pa.string()),
+            ("content_type", pa.string()),
+            ("text_content", pa.string()),
+        ]
     )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(
+            ["sample_id", "position", "modality", "content_type", "text_content"]
+        ).cast(_proj_schema)
+
+    aspect = out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    # --- PDF arm: documents -> real PDFs -> extract -> verdict ---
+    import re as _re
+
+    from curator_ray.functions.pdf import build_pdf
+    from curator_ray.functions.png import decode_png
+
+    def _planted(did: int) -> np.ndarray:
+        return ((did * 131 + 7 * np.arange(8 * 8 * 3)) % 256).astype(np.uint8).reshape(8, 8, 3)
+
+    def make_pdfs(b: pa.Table) -> pa.Table:
+        dids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        blobs, sids, names = [], [], []
+        for did, text in zip(dids, texts):
+            payload = _re.sub(r"[^a-zA-Z0-9 .,]", "", text or "")[:120]
+            blobs.append(
+                build_pdf([{"texts": [payload], "images": [(8, 8, _planted(int(did)).tobytes())]}])
+            )
+            sids.append(f"pdf_{did}")
+            names.append(f"{did}.pdf")
+        return pa.table({
+            "sample_id": pa.array(sids, pa.string()),
+            "pdf_name": pa.array(names, pa.string()),
+            "pdf_bytes": pa.array(blobs, pa.large_binary()),
+        })
+
+    extracted = pdf_extract_stage(
+        docs.map_batches(make_pdfs, batch_format="pyarrow", zero_copy_batch=True),
+        name_col="pdf_name",
+    )
+
+    def verdict_proj(b: pa.Table) -> pa.Table:
+        sids = b.column("sample_id").to_pylist()
+        mods = b.column("modality").to_pylist()
+        blobs = b.column("binary_content").to_pylist()
+        texts = b.column("text_content").to_pylist()
+        out_text = []
+        for sid, mod, blob, text in zip(sids, mods, blobs, texts):
+            if mod == "image":
+                ok = blob is not None and np.array_equal(
+                    decode_png(bytes(blob)), _planted(int(sid[4:]))
+                )
+                out_text.append("pixok=true" if ok else "pixok=false")
+            else:
+                out_text.append(text)
+        return pa.table({
+            "sample_id": b.column("sample_id"),
+            "position": b.column("position"),
+            "modality": b.column("modality"),
+            "content_type": b.column("content_type"),
+            "text_content": pa.array(out_text, pa.string()),
+        }).cast(_proj_schema)
+
+    pdf_rows = extracted.map_batches(verdict_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    return aspect.union(pdf_rows).sort(["sample_id", "position"])
 
 
 def q_qa_multilingual(sf_dir: str):
@@ -2135,8 +2215,30 @@ WITH d AS (
   SELECT d.sample_id, CASE WHEN k.keep THEN 2 ELSE 1 END, 'text', 'text/plain',
          substr(t, 41, 40)
   FROM d JOIN k USING (sample_id)
+), pdf_docs AS (
+  -- PDF arm: the engine writes one real PDF per document (sanitized text +
+  -- planted image) and extracts it back; these rows are its expectation
+  SELECT 'pdf_' || CAST(doc_id AS VARCHAR) AS sample_id,
+         CAST(doc_id AS VARCHAR) AS did,
+         trim(substr(regexp_replace(text, '[^a-zA-Z0-9 .,]', '', 'g'), 1, 120)) AS pt
+  FROM documents
+), pdf_rows AS (
+  SELECT sample_id, CAST(-1 AS BIGINT) AS position, 'metadata' AS modality,
+         'application/json' AS content_type,
+         '{"pdf_name": "' || did || '.pdf", "num_pages": 1}' AS text_content
+  FROM pdf_docs
+  UNION ALL
+  SELECT sample_id, 0, 'text', 'text/markdown', pt
+  FROM pdf_docs WHERE length(pt) > 0
+  UNION ALL
+  SELECT sample_id, CASE WHEN length(pt) > 0 THEN 1 ELSE 0 END,
+         'image', 'image/png', 'pixok=true'
+  FROM pdf_docs
 )
-SELECT * FROM rows_ ORDER BY sample_id, position
+SELECT * FROM rows_
+UNION ALL
+SELECT * FROM pdf_rows
+ORDER BY sample_id, position
 """
 
 

@@ -32,10 +32,12 @@ group): all rows of a sample sit in one block — readers emit samples
 contiguously and the repair runs per batch. A repartition-by-sample_id
 restores the invariant if an upstream shuffle broke it.
 
-Model-bound members of the family (pdf/nemotron_parse partitioning, VLM
-annotators) are deployment-gated like vLLM/Lance; lazy ``source_ref``
-materialization is replaced by inline ``binary_content`` bytes — the
-engine's multimodal-column discipline (payload beside typed metadata).
+The PDF half of the family (partitioning, extraction, nemotron-output
+postprocess) lives in ``stages/pdf.py`` over the from-scratch codec
+``functions/pdf.py``; only the page renderer and the VLM forward pass stay
+deployment-gated there. Lazy ``source_ref`` materialization is replaced by
+inline ``binary_content`` bytes — the engine's multimodal-column
+discipline (payload beside typed metadata).
 """
 
 from __future__ import annotations
