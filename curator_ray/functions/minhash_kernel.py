@@ -70,18 +70,67 @@ def minhash_signatures(
 
     sig = np.empty((n_docs, n_perms), dtype=np.uint64)
     m = len(h)
-    # one reusable (m,) scratch buffer instead of a (chunk, m) intermediate:
-    # keeps the working set tiny so per-worker cold-start page-fault cost is
-    # negligible and the allocator reuses the same pages every permutation.
-    # (A Mersenne shift-fold reduction was measured SLOWER than np.mod here:
-    # numpy's mod-by-scalar already uses a multiplicative fast path, and the
-    # fold needs 6 memory passes vs 1.)
-    tmp = np.empty(m, dtype=np.uint64)
-    for p in range(n_perms):
-        # (a*h + b) wraps mod 2**64, then mod prime — same order of
-        # operations as the reference's 64-bit GPU path
-        np.multiply(h, a[p], out=tmp)
-        np.add(tmp, b[p], out=tmp)
-        np.mod(tmp, prime, out=tmp)
-        sig[:, p] = np.minimum.reduceat(tmp, doc_starts)
+    doc_ends = np.empty(n_docs, dtype=np.int64)
+    doc_ends[:-1] = doc_starts[1:]
+    doc_ends[-1] = m
+
+    # Cache-blocked permutation loop: shingles are processed in ~48k-element
+    # chunks (split on doc boundaries; doc_counts >= 1 so boundaries are
+    # strictly increasing and chunked reduceat matches the full-array result
+    # exactly).  Three 48k x 8B scratch buffers (~1.2 MB with the h slice)
+    # stay resident in this box's 2 MB/core private L2 across all n_perms
+    # passes, so each worker touches DRAM once for h instead of
+    # 4*n_perms times — under 32-way concurrency the unblocked loop was
+    # bound on the SHARED fault/DRAM path (PERF.md), which is also what the
+    # 8->32 cpu scaling proxy contends on.
+    #
+    # The prime reduction is a Mersenne shift-fold instead of np.mod: exact,
+    # because the 32-bit path never wraps (a, b < 2^31, h < 2^32 =>
+    # a*h+b < 2^63) and the 64-bit path is DEFINED as mod-after-2^64-wrap
+    # (reference GPU parity), which the single fold of the wrapped value
+    # computes.  Fold output is < prime except for values in
+    # [prime, prime+3]; those occur with probability ~2^-29 per element, so
+    # the final conditional subtract is replaced by a max() guard with a
+    # rare exact fixup pass.  (An earlier note here said the fold measured
+    # slower than np.mod — that was true only for the DRAM-streaming
+    # full-array loop; in-L2 the fold wins, 1.48 s -> 0.78 s per 15.6k-doc
+    # batch single-core.)
+    S31 = np.uint64(31)
+    S61 = np.uint64(61)
+    chunk_target = 48_000
+    u = np.empty(min(m, chunk_target + 8_192), dtype=np.uint64)
+    v = np.empty_like(u)
+    d0 = 0
+    while d0 < n_docs:
+        s0 = doc_starts[d0]
+        d1 = min(int(np.searchsorted(doc_ends, s0 + chunk_target, side="left")) + 1, n_docs)
+        s1 = doc_ends[d1 - 1]
+        mc = s1 - s0
+        if mc > len(u):  # one giant doc exceeding the chunk target
+            u = np.empty(mc, dtype=np.uint64)
+            v = np.empty_like(u)
+        hc = h[s0:s1]
+        uc, vc = u[:mc], v[:mc]
+        local_starts = doc_starts[d0:d1] - s0
+        for p in range(n_perms):
+            np.multiply(hc, a[p], out=uc)
+            np.add(uc, b[p], out=uc)
+            if use_64bit:
+                # x < 2^64: one fold -> value <= prime + 7
+                np.bitwise_and(uc, prime, out=vc)
+                np.right_shift(uc, S61, out=uc)
+                np.add(vc, uc, out=vc)
+            else:
+                # x < 2^63: fold twice -> value <= prime + 1
+                np.bitwise_and(uc, prime, out=vc)
+                np.right_shift(uc, S31, out=uc)
+                np.add(vc, uc, out=vc)
+                np.right_shift(vc, S31, out=uc)
+                np.bitwise_and(vc, prime, out=vc)
+                np.add(vc, uc, out=vc)
+            if np.max(vc) >= prime:  # ~2^-29/element: finish the reduction
+                np.subtract(vc, prime, out=uc)
+                np.minimum(vc, uc, out=vc)
+            sig[d0:d1, p] = np.minimum.reduceat(vc, local_starts)
+        d0 = d1
     return sig.astype(out_dtype)
