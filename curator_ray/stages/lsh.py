@@ -235,6 +235,7 @@ def _global_star_broadcast(reps, cfg: FuzzyDedupConfig):
         functools.partial(_star_emit, packed_ref=ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=1 << 20,
     )
 
 
@@ -261,11 +262,13 @@ def lsh_candidate_edges(ds_sig, cfg: FuzzyDedupConfig, band_range: range | None 
         lambda b: b.select(["src", "dst"]).filter(pc.is_valid(b.column("src"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=1 << 20,  # bundle tiny filtered blocks: micro-task overhead, not work, dominated here
     )
     reps = combined.map_batches(
         lambda b: b.select(["bucket_hi", "bucket_lo", "rep"]).filter(pc.is_valid(b.column("rep"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=1 << 20,
     )
     if cfg.global_bucket_mode == "broadcast":
         global_edges = _global_star_broadcast(reps, cfg)

@@ -132,6 +132,7 @@ def _global_fp_broadcast(reps, max_broadcast: int = 20_000_000):
         functools.partial(_fp_emit, packed_ref=ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=1 << 20,
     )
 
 
@@ -167,11 +168,13 @@ def substring_candidate_edges(
         lambda b: b.select(["src", "dst"]).filter(pc.is_valid(b.column("src"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=1 << 20,  # bundle tiny filtered blocks (see lsh.py)
     )
     reps = combined.map_batches(
         lambda b: b.select(["fp", "rep"]).filter(pc.is_valid(b.column("rep"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=1 << 20,
     )
     if global_mode == "broadcast":
         return local.union(_global_fp_broadcast(reps))
