@@ -266,24 +266,41 @@ def _streaming_workflow(
 
     sig_cols = ["image_id", "caption", "phash"]
     sigs = with_ids(ray.data.read_parquet(input_path, columns=sig_cols), key_field="image_id")
-    # minhash stays LAZY: the one-pass banding kernel consumes the signatures
-    # exactly once, so read -> ids -> minhash -> banding fuse into one task
-    # chain and the (rows x num_hashes x 4B) signature matrix never touches
-    # the object store — plasma first-touch page faults are a measured
-    # serial bottleneck in this sandbox (PERF.md)
-    mh = minhash_stage(sigs, fuzzy, keep_fields=(fuzzy.id_field,))
+    # the three edge builders are independent pipelines with internal
+    # barriers (sorts, driver-side partial merges) where the cluster idles;
+    # running them from concurrent driver threads lets one builder's compute
+    # fill another's barrier gaps — each Dataset execution has its own
+    # streaming executor, and they share the cluster through the usual
+    # resource-based admission
+    from concurrent.futures import ThreadPoolExecutor
 
-    edges = lsh_candidate_edges(mh, fuzzy)
-    _phase("lsh_edges_build")  # banding + dup-bucket sortagg execute here
-    sigs_mat = sigs.materialize() if use_substring else sigs
+    # one materialization of the slim signature projection feeds all three
+    # builders (re-reading + re-assigning ids per builder costs more than the
+    # one plasma round trip of ~90 B/row); minhash stays LAZY on top of it so
+    # the (rows x num_hashes x 4B) signature matrix still never touches the
+    # object store — plasma first-touch page faults are a measured serial
+    # bottleneck in this sandbox (PERF.md)
+    sigs_mat = sigs.materialize()
+    mh = minhash_stage(sigs_mat, fuzzy, keep_fields=(fuzzy.id_field,))
     _phase("sigs_materialize")
-    sh_edges = simhash_candidate_edges(sigs_mat, simhash)
-    _phase("simhash_edges_build")
-    edges = edges.union(sh_edges)
-    if use_substring:
-        ss_edges = substring_candidate_edges(sigs_mat, min_match_length=substring_min_length)
-        _phase("substring_edges_build")
-        edges = edges.union(ss_edges)
+
+    def _build_lsh():
+        return lsh_candidate_edges(mh, fuzzy)
+
+    def _build_simhash():
+        return simhash_candidate_edges(sigs_mat, simhash)
+
+    def _build_substring():
+        return substring_candidate_edges(sigs_mat, min_match_length=substring_min_length)
+
+    builders = [_build_lsh, _build_simhash] + ([_build_substring] if use_substring else [])
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futs = [pool.submit(b) for b in builders]
+        built = [f.result() for f in futs]
+    _phase("edge_builds (lsh+simhash+substring concurrent)")
+    edges = built[0]
+    for extra in built[1:]:
+        edges = edges.union(extra)
 
     labels = connected_components(edges, fuzzy)
     _phase("edges+cc")
