@@ -74,7 +74,7 @@ def _local_exact(batch: pa.Table, *, text_field: str, id_field: str, emit: str) 
     sizes = np.diff(np.append(run_starts, len(order)))
     # int64 views of the 128-bit hash: Ray aggregates pickle uint64 columns
     # whose values exceed the int64 range
-    return pa.table(
+    reps_t = pa.table(
         {
             "hash_hi": pa.array(shi[run_starts].view(np.int64), pa.int64()),
             "hash_lo": pa.array(slo[run_starts].view(np.int64), pa.int64()),
@@ -82,6 +82,33 @@ def _local_exact(batch: pa.Table, *, text_field: str, id_field: str, emit: str) 
             "cnt": pa.array(sizes.astype(np.int64), pa.int64()),
         }
     )
+    if emit == "reps":
+        return reps_t
+    # emit == "both": null-padded union of removals + reps so the content
+    # hashing runs ONCE per row (same trick as lsh/simhash/substring)
+    keep_first = np.zeros(len(order), dtype=bool)
+    keep_first[run_starts] = True
+    rem = sid[~keep_first]
+    nrem, nrep = len(rem), reps_t.num_rows
+    rem_t = pa.table(
+        {
+            "_id": pa.array(rem, pa.int64()),
+            "hash_hi": pa.nulls(nrem, pa.int64()),
+            "hash_lo": pa.nulls(nrem, pa.int64()),
+            "rep": pa.nulls(nrem, pa.int64()),
+            "cnt": pa.nulls(nrem, pa.int64()),
+        }
+    )
+    reps_pad = pa.table(
+        {
+            "_id": pa.nulls(nrep, pa.int64()),
+            "hash_hi": reps_t.column("hash_hi"),
+            "hash_lo": reps_t.column("hash_lo"),
+            "rep": reps_t.column("rep"),
+            "cnt": reps_t.column("cnt"),
+        }
+    )
+    return pa.concat_tables([rem_t, reps_pad])
 
 
 def _global_keep_first(group: pa.Table) -> pa.Table:
@@ -114,8 +141,8 @@ def exact_duplicate_ids(
     max_broadcast: int = 20_000_000,
 ):
     """Dataset -> sorted Dataset[(_id,)] of rows to remove (keep min id per
-    identical-text group). ``ds`` is consumed twice — materialize or point at
-    a parquet source.
+    identical-text group). ``ds`` is consumed exactly once (a single hashing
+    pass feeds both the local-removal and representative streams).
 
     ``global_mode="broadcast"`` resolves cross-block duplicate groups with a
     vectorized ``groupby.aggregate(Count, Min)`` + broadcast lookup (no
@@ -123,13 +150,25 @@ def exact_duplicate_ids(
     ``"groupby"`` is the map_groups fallback for corpora whose cross-block
     duplicated-hash table would not fit in memory.
     """
-    local_removals = ds.map_batches(
-        functools.partial(_local_exact, text_field=text_field, id_field=id_field, emit="removals"),
+    import pyarrow.compute as pc
+
+    # ONE hashing pass emitting a null-padded union of removals + reps,
+    # materialized; the two consumers are cheap validity filters over it
+    # (hashing every caption twice — once per consumer — measured ~2x the
+    # stage cost at 1M rows)
+    combined = ds.map_batches(
+        functools.partial(_local_exact, text_field=text_field, id_field=id_field, emit="both"),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    ).materialize()
+    local_removals = combined.map_batches(
+        lambda b: b.select(["_id"]).filter(pc.is_valid(b.column("_id"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1 << 20,  # bundle tiny filtered blocks (see lsh.py)
     )
-    reps = ds.map_batches(
-        functools.partial(_local_exact, text_field=text_field, id_field=id_field, emit="reps"),
+    reps = combined.map_batches(
+        lambda b: b.select(["hash_hi", "hash_lo", "rep", "cnt"]).filter(pc.is_valid(b.column("rep"))),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
