@@ -54,6 +54,28 @@ _checkpointed = checkpointed
 _dir_counters = dir_counters
 
 
+def _warm_lazy_imports() -> None:
+    """Make Ray Data's lazy fsspec-http import race-free under threads.
+
+    ``read_parquet`` path resolution tries ``from fsspec.implementations.http
+    import HTTPFileSystem`` and catches ModuleNotFoundError. In this
+    environment that import ALWAYS fails (no aiohttp), so it is retried on
+    every call — and two threads retrying concurrently can observe the
+    partially-executed module and raise a bare ImportError that Ray does not
+    catch (reproduced: ~1 in 1600 concurrent attempts). Pinning the
+    sys.modules entry to ``None`` after the first failure makes every later
+    import raise ModuleNotFoundError immediately, with no module execution
+    and no race window, preserving the exact failure semantics Ray expects."""
+    import sys
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ModuleNotFoundError:
+        sys.modules.setdefault("fsspec.implementations.http", None)
+    except Exception:
+        pass
+
+
 def image_dedup_workflow(
     input_path: str,
     output_path: str,
@@ -105,15 +127,18 @@ def image_dedup_workflow(
     )
 
     # -- candidate edges, one checkpoint partition per source/wave ----------
-    edge_sets = []
+    # the edge sources are independent given the minhash cache, and each
+    # checkpoints into its own (stage, partition) entry — per-entry manifest
+    # files commit atomically, so building them from concurrent driver
+    # threads is safe and lets one source's map waves fill another's
+    # sort/driver-merge barriers (same pattern as the streaming path)
+    build_specs: list[tuple[str, str, str, str, object]] = []
     step = max(1, fuzzy.bands_per_iteration)
     for start in range(0, fuzzy.num_bands, step):
         rng = range(start, min(start + step, fuzzy.num_bands))
         part = f"bands_{rng.start}_{rng.stop}"
-        touched.append(("lsh_edges", part))
-        edge_sets.append(
-            _checkpointed(
-                manifest,
+        build_specs.append(
+            (
                 "lsh_edges",
                 part,
                 fingerprint(mh_fp, tuple(rng)),
@@ -121,10 +146,8 @@ def image_dedup_workflow(
                 lambda rng=rng: lsh_candidate_edges(sig_ds, fuzzy, band_range=rng),
             )
         )
-    touched.append(("simhash_edges", "all"))
-    edge_sets.append(
-        _checkpointed(
-            manifest,
+    build_specs.append(
+        (
             "simhash_edges",
             "all",
             fingerprint(input_path, simhash),
@@ -151,10 +174,8 @@ def image_dedup_workflow(
 
         else:
             sub_stage = substring_candidate_edges
-        touched.append(("substring_edges", "all"))
-        edge_sets.append(
-            _checkpointed(
-                manifest,
+        build_specs.append(
+            (
                 "substring_edges",
                 "all",
                 fingerprint(input_path, substring_min_length, substring_exact),
@@ -162,6 +183,17 @@ def image_dedup_workflow(
                 lambda: sub_stage(sigs, min_match_length=substring_min_length),
             )
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    _warm_lazy_imports()
+    touched.extend((stage, part) for stage, part, _, _, _ in build_specs)
+    with ThreadPoolExecutor(max_workers=min(4, len(build_specs))) as pool:
+        futs = [
+            pool.submit(_checkpointed, manifest, stage, part, fp, out_dir, build)
+            for stage, part, fp, out_dir, build in build_specs
+        ]
+        edge_sets = [f.result() for f in futs]
 
     edges = edge_sets[0]
     for e in edge_sets[1:]:
@@ -294,6 +326,7 @@ def _streaming_workflow(
         return substring_candidate_edges(sigs_mat, min_match_length=substring_min_length)
 
     builders = [_build_lsh, _build_simhash] + ([_build_substring] if use_substring else [])
+    _warm_lazy_imports()
     with ThreadPoolExecutor(max_workers=len(builders)) as pool:
         futs = [pool.submit(b) for b in builders]
         built = [f.result() for f in futs]
