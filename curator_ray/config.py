@@ -24,10 +24,13 @@ class FuzzyDedupConfig:
     # scale knobs
     bands_per_iteration: int = 20  # process all bands in one pass by default
     max_bucket_block_rows: int = 1 << 20
-    # global bucket-resolution strategy: "broadcast" = vectorized aggregate +
-    # broadcast lookup of duplicated buckets (no per-group Python; right when
-    # cross-block dup buckets fit in memory), "groupby" = map_groups fallback
-    global_bucket_mode: str = "broadcast"
+    # global bucket-resolution strategy: "sortscan" (default) = one sort of
+    # the representatives + vectorized run scan emitting star edges in place
+    # (no driver table, no broadcast memory bound — sortagg.global_star_sorted);
+    # "broadcast" = vectorized aggregate + broadcast lookup of duplicated
+    # buckets (right when cross-block dup buckets fit in memory); "groupby" =
+    # map_groups fallback
+    global_bucket_mode: str = "sortscan"
     max_broadcast_buckets: int = 20_000_000
     # Below this edge count, connected components runs the vectorized numpy
     # union-find on the driver: 16 bytes/edge -> ~800 MB at the 50M cap on a

@@ -137,18 +137,17 @@ def exact_duplicate_ids(
     ds,
     text_field: str = "caption",
     id_field: str = "_id",
-    global_mode: str = "broadcast",
+    global_mode: str = "sortscan",
     max_broadcast: int = 20_000_000,
 ):
     """Dataset -> sorted Dataset[(_id,)] of rows to remove (keep min id per
     identical-text group). ``ds`` is consumed exactly once (a single hashing
     pass feeds both the local-removal and representative streams).
 
-    ``global_mode="broadcast"`` resolves cross-block duplicate groups with a
-    vectorized ``groupby.aggregate(Count, Min)`` + broadcast lookup (no
-    per-group Python — hashes are overwhelmingly singletons);
-    ``"groupby"`` is the map_groups fallback for corpora whose cross-block
-    duplicated-hash table would not fit in memory.
+    ``global_mode="sortscan"`` (default) resolves cross-block duplicate
+    groups with one sort of the representatives + a vectorized run scan (no
+    driver table, no broadcast bound); ``"broadcast"`` keeps the aggregate +
+    broadcast-lookup path; ``"groupby"`` is the map_groups fallback.
     """
     import pyarrow.compute as pc
 
@@ -172,7 +171,20 @@ def exact_duplicate_ids(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    if global_mode == "broadcast":
+    if global_mode == "sortscan":
+        import pyarrow.compute as pc2  # noqa: F401
+
+        from .sortagg import global_star_sorted
+
+        # the non-min representative of every duplicated hash IS the removal
+        star = global_star_sorted(reps, ["hash_hi", "hash_lo"], rep_col="rep")
+        global_removals = star.map_batches(
+            lambda b: pa.table({"_id": b.column("dst")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1 << 20,
+        )
+    elif global_mode == "broadcast":
         import ray
 
         from ..functions.packkeys import pack_u128

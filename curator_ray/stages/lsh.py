@@ -270,7 +270,11 @@ def lsh_candidate_edges(ds_sig, cfg: FuzzyDedupConfig, band_range: range | None 
         zero_copy_batch=True,
         batch_size=1 << 20,
     )
-    if cfg.global_bucket_mode == "broadcast":
+    if cfg.global_bucket_mode == "sortscan":
+        from .sortagg import global_star_sorted
+
+        global_edges = global_star_sorted(reps, ["bucket_hi", "bucket_lo"], rep_col="rep")
+    elif cfg.global_bucket_mode == "broadcast":
         global_edges = _global_star_broadcast(reps, cfg)
     else:
         global_edges = reps.groupby(["bucket_hi", "bucket_lo"]).map_groups(

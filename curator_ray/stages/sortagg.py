@@ -121,3 +121,128 @@ def dup_bucket_table(reps, key_cols: list[str], rep_col: str = "rep", max_rows: 
     out["min_rep"] = pa.array(tot_min[keep], pa.int64())
     out["cnt"] = pa.array(tot_cnt[keep], pa.int64())
     return pa.table(out)
+
+
+# -- sorted star-scan: dup-bucket resolution WITHOUT a driver table ----------
+# One sort co-locates every key run; the scan emits star edges (run-min ->
+# other members) for interior runs in place, fully vectorized, and passes
+# block-boundary runs through for a tiny driver merge. Strictly dominates the
+# dup_bucket_table + broadcast + lookup pattern for star emission: same one
+# sort, but no driver-side duplicated-key table (no max_broadcast bound), no
+# ray.put broadcast, and no second full pass over the representatives.
+
+
+def _scan_star_block(batch: pa.Table, *, key_cols: list[str], rep_col: str) -> pa.Table:
+    """Per sorted block: star edges for interior key runs; boundary runs pass
+    through null-padded (src/dst null <=> passthrough row)."""
+    n = len(batch)
+    cols = {k: batch.column(k).to_numpy() for k in key_cols}
+    rep = batch.column(rep_col).to_numpy()
+    empty = {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    empty.update({k: pa.array([], pa.int64()) for k in key_cols})
+    empty[rep_col] = pa.array([], pa.int64())
+    if n == 0:
+        return pa.table(empty)
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    for k in key_cols:
+        v = cols[k]
+        new_run[1:] |= v[1:] != v[:-1]
+    run_starts = np.flatnonzero(new_run)
+    run_ends = np.append(run_starts[1:], n)
+    sizes = run_ends - run_starts
+    nruns = len(run_starts)
+    boundary = np.zeros(nruns, dtype=bool)
+    boundary[0] = True
+    boundary[-1] = True
+    run_min = np.minimum.reduceat(rep, run_starts)
+    member_src = np.repeat(run_min, sizes)
+    row_boundary = np.repeat(boundary, sizes)
+    emit = ~row_boundary & (member_src != rep)
+    src, dst = member_src[emit], rep[emit]
+    ne, nb = len(src), int(row_boundary.sum())
+    edges_t = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            **{k: pa.nulls(ne, pa.int64()) for k in key_cols},
+            rep_col: pa.nulls(ne, pa.int64()),
+        }
+    )
+    pass_t = pa.table(
+        {
+            "src": pa.nulls(nb, pa.int64()),
+            "dst": pa.nulls(nb, pa.int64()),
+            **{k: pa.array(cols[k][row_boundary], pa.int64()) for k in key_cols},
+            rep_col: pa.array(rep[row_boundary], pa.int64()),
+        }
+    )
+    return pa.concat_tables([edges_t, pass_t])
+
+
+def _merge_star_boundary(btbl: pa.Table, key_cols: list[str], rep_col: str) -> pa.Table:
+    """Driver merge of boundary runs (O(2 runs per sorted block) rows):
+    star edges for keys whose total membership across blocks is >= 2."""
+    if btbl.num_rows == 0:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    keys = [btbl.column(k).to_numpy() for k in key_cols]
+    rep = btbl.column(rep_col).to_numpy()
+    # np.lexsort keys run minor -> MAJOR: rep last-minor, key_cols[0] primary
+    order = np.lexsort((rep,) + tuple(reversed(keys)))
+    skeys = [k[order] for k in keys]
+    srep = rep[order]
+    n = len(order)
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    for k in skeys:
+        new_run[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(new_run)
+    sizes = np.diff(np.append(starts, n))
+    run_min = np.minimum.reduceat(srep, starts)
+    member_src = np.repeat(run_min, sizes)
+    emit = member_src != srep
+    return pa.table(
+        {
+            "src": pa.array(member_src[emit], pa.int64()),
+            "dst": pa.array(srep[emit], pa.int64()),
+        }
+    )
+
+
+def global_star_sorted(reps, key_cols: list[str], rep_col: str = "rep"):
+    """Representative Dataset -> star-edge Dataset (src=key-min rep, dst=other
+    reps of the same key), via one sort + vectorized run scan + tiny driver
+    boundary merge. All key/rep columns must be int64."""
+    import functools
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .cc import _collect_small
+
+    scanned = (
+        reps.sort(key_cols)
+        .map_batches(
+            functools.partial(_scan_star_block, key_cols=key_cols, rep_col=rep_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    edges = scanned.map_batches(
+        lambda b: b.select(["src", "dst"]).filter(pc.is_valid(b.column("src"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1 << 20,  # bundle tiny filtered blocks (see lsh.py)
+    )
+    bt = _collect_small(
+        scanned.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column(key_cols[0]))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1 << 20,
+        ),
+        key_cols + [rep_col],
+    )
+    boundary = _merge_star_boundary(bt, key_cols, rep_col)
+    return edges.union(ray.data.from_arrow(boundary))

@@ -142,7 +142,7 @@ def substring_candidate_edges(
     text_field: str = "caption",
     id_field: str = "_id",
     winnow_window: int = 8,
-    global_mode: str = "broadcast",
+    global_mode: str = "sortscan",
 ):
     """Documents sharing an exact span >= min_match_length -> edges.
 
@@ -176,6 +176,10 @@ def substring_candidate_edges(
         zero_copy_batch=True,
         batch_size=1 << 20,
     )
+    if global_mode == "sortscan":
+        from .sortagg import global_star_sorted
+
+        return local.union(global_star_sorted(reps, ["fp"], rep_col="rep"))
     if global_mode == "broadcast":
         return local.union(_global_fp_broadcast(reps))
     return local.union(reps.groupby("fp").map_groups(_global_star, batch_format="pyarrow"))
