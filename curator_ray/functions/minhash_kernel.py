@@ -89,7 +89,8 @@ def minhash_signatures(
     # a*h+b < 2^63) and the 64-bit path is DEFINED as mod-after-2^64-wrap
     # (reference GPU parity), which the single fold of the wrapped value
     # computes.  Fold output is < prime except for values in
-    # [prime, prime+3]; those occur with probability ~2^-29 per element, so
+    # [prime, prime+3] (32-bit double fold) / [prime, prime+7] (64-bit
+    # single fold); those occur with probability ~2^-29 per element, so
     # the final conditional subtract is replaced by a max() guard with a
     # rare exact fixup pass.  (An earlier note here said the fold measured
     # slower than np.mod — that was true only for the DRAM-streaming
@@ -121,7 +122,7 @@ def minhash_signatures(
                 np.right_shift(uc, S61, out=uc)
                 np.add(vc, uc, out=vc)
             else:
-                # x < 2^63: fold twice -> value <= prime + 1
+                # x < 2^63: fold twice -> value <= prime + 3
                 np.bitwise_and(uc, prime, out=vc)
                 np.right_shift(uc, S31, out=uc)
                 np.add(vc, uc, out=vc)

@@ -172,8 +172,6 @@ def exact_duplicate_ids(
         zero_copy_batch=True,
     )
     if global_mode == "sortscan":
-        import pyarrow.compute as pc2  # noqa: F401
-
         from .sortagg import global_star_sorted
 
         # the non-min representative of every duplicated hash IS the removal
@@ -185,12 +183,29 @@ def exact_duplicate_ids(
             batch_size=1 << 20,
         )
     elif global_mode == "broadcast":
+        import logging
+
         import ray
 
         from ..functions.packkeys import pack_u128
-        from .sortagg import dup_bucket_table
+        from .sortagg import DupBucketOverflow, dup_bucket_table, global_star_sorted
 
-        dup = dup_bucket_table(reps, ["hash_hi", "hash_lo"], max_rows=max_broadcast)
+        try:
+            dup = dup_bucket_table(reps, ["hash_hi", "hash_lo"], max_rows=max_broadcast)
+        except DupBucketOverflow as exc:
+            # degrade to the driver-table-free sortscan path instead of aborting
+            logging.getLogger(__name__).warning("%s; retrying in sortscan mode", exc)
+            star = global_star_sorted(reps, ["hash_hi", "hash_lo"], rep_col="rep")
+            return (
+                local_removals.union(
+                    star.map_batches(
+                        lambda b: pa.table({"_id": b.column("dst")}),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                        batch_size=1 << 20,
+                    )
+                ).sort("_id")
+            )
         packed = pack_u128(
             dup.column("hash_hi").to_numpy().view(np.uint64),
             dup.column("hash_lo").to_numpy().view(np.uint64),

@@ -219,12 +219,20 @@ def _global_star_broadcast(reps, cfg: FuzzyDedupConfig):
     broadcast as a sorted 128-bit-key table, and a second stateless pass over
     the representatives emits star edges via binary-search lookup.
     """
+    import logging
+
     import ray
 
     from ..functions.packkeys import pack_u128
-    from .sortagg import dup_bucket_table
+    from .sortagg import DupBucketOverflow, dup_bucket_table, global_star_sorted
 
-    dup = dup_bucket_table(reps, ["bucket_hi", "bucket_lo"], max_rows=cfg.max_broadcast_buckets)
+    try:
+        dup = dup_bucket_table(reps, ["bucket_hi", "bucket_lo"], max_rows=cfg.max_broadcast_buckets)
+    except DupBucketOverflow as exc:
+        # more duplicated buckets than the driver can broadcast — finish the
+        # job in sortscan mode (no driver table) instead of aborting
+        logging.getLogger(__name__).warning("%s; retrying in sortscan mode", exc)
+        return global_star_sorted(reps, ["bucket_hi", "bucket_lo"], rep_col="rep")
     hi = dup.column("bucket_hi").to_numpy().view(np.uint64)
     lo = dup.column("bucket_lo").to_numpy().view(np.uint64)
     minrep = dup.column("min_rep").to_numpy().astype(np.int64)

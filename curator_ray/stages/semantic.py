@@ -224,6 +224,18 @@ def _pairwise_group(group: pa.Table, *, cfg: SemanticDedupConfig) -> pa.Table:
     return pa.table({"id": pa.array(ids, pa.int64()), "cosine_sim_score": pa.array(scores, pa.float64())})
 
 
+def _cluster_sizes(assigned) -> dict[int, int]:
+    """cluster id -> row count via the distributed count aggregate, streamed
+    batch-wise (one row per cluster, n_clusters total — never O(rows))."""
+    sizes: dict[int, int] = {}
+    for b in assigned.groupby("centroid_id").count().iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        cids = t.column("centroid_id").to_numpy().astype(np.int64)
+        cnts = t.column("count()").to_numpy().astype(np.int64)
+        sizes.update(zip(cids.tolist(), cnts.tolist()))
+    return sizes
+
+
 def split_oversized_clusters(assigned, cfg: SemanticDedupConfig, row_cap: int | None = None):
     """Re-cluster clusters above ``row_cap`` rows once with a per-cluster
     sub-k-means so no single ``map_groups`` task holds an unbounded group
@@ -238,10 +250,7 @@ def split_oversized_clusters(assigned, cfg: SemanticDedupConfig, row_cap: int | 
 
     cap = row_cap or cfg.max_cluster_size or 200_000
     assigned = assigned.materialize()
-    sizes = {
-        int(r["centroid_id"]): int(r["count()"])
-        for r in assigned.groupby("centroid_id").count().take_all()
-    }
+    sizes = _cluster_sizes(assigned)
     oversized = {cid: n for cid, n in sizes.items() if n > cap}
     if not oversized:
         return assigned
@@ -320,10 +329,7 @@ def split_oversized_clusters(assigned, cfg: SemanticDedupConfig, row_cap: int | 
     # sub-k-means cannot split a cluster whose members are (near-)identical:
     # every point lands on one sub-centroid and the cluster survives whole.
     # Re-measure and hash-shard whatever is still over the cap.
-    sizes2 = {
-        int(r["centroid_id"]): int(r["count()"])
-        for r in assigned.groupby("centroid_id").count().take_all()
-    }
+    sizes2 = _cluster_sizes(assigned)
     still = {cid: n for cid, n in sizes2.items() if n > cap}
     if not still:
         return assigned

@@ -24,6 +24,17 @@ import numpy as np
 import pyarrow as pa
 
 
+class DupBucketOverflow(RuntimeError):
+    """The driver-side duplicated-bucket table exceeded its row cap.
+
+    Callers that can complete without a driver table (everything star-shaped:
+    LSH, exact-substring, exact hash) catch this and transparently re-run the
+    global stage in ``sortscan`` mode, which has no driver table at all —
+    degrade, don't abort a multi-hour job (the reference's rapidsmpf shuffler
+    likewise degrades to host spill rather than raising,
+    ``shuffle_utils/rapidsmpf_shuffler.py:91-111``)."""
+
+
 def _scan_sorted_block(batch: pa.Table, *, key_cols: list[str], rep_col: str) -> pa.Table:
     n = len(batch)
     cols = {k: batch.column(k).to_numpy() for k in key_cols}
@@ -86,9 +97,9 @@ def dup_bucket_table(reps, key_cols: list[str], rep_col: str = "rep", max_rows: 
         t = pa.table(b)
         total += t.num_rows
         if total > max_rows:
-            raise RuntimeError(
+            raise DupBucketOverflow(
                 f"duplicated-bucket table exceeds {max_rows} rows; "
-                "fall back to global_bucket_mode='groupby'"
+                "falling back to global_bucket_mode='sortscan'"
             )
         parts.append(t)
     if not parts:
@@ -181,8 +192,14 @@ def _scan_star_block(batch: pa.Table, *, key_cols: list[str], rep_col: str) -> p
 
 
 def _merge_star_boundary(btbl: pa.Table, key_cols: list[str], rep_col: str) -> pa.Table:
-    """Driver merge of boundary runs (O(2 runs per sorted block) rows):
-    star edges for keys whose total membership across blocks is >= 2."""
+    """Driver merge of the boundary runs passed through by the block scans:
+    star edges for keys whose total membership across blocks is >= 2.
+
+    Driver-collected volume is the boundary runs per scanned *batch*, each
+    contributing all its members — bounded in practice by one representative
+    per block for a hot key (the upstream combiner caps per-(key, block)
+    emission at 1), so O(batches x max-run-size), small but not literally two
+    rows per block."""
     if btbl.num_rows == 0:
         return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
     keys = [btbl.column(k).to_numpy() for k in key_cols]
@@ -209,10 +226,36 @@ def _merge_star_boundary(btbl: pa.Table, key_cols: list[str], rep_col: str) -> p
     )
 
 
+def _star_spill_dir() -> str | None:
+    """Run-scoped spill directory for the scanned star output, or None to keep
+    it in plasma. Controlled by CURATOR_RAY_STAR_SPILL (default on) and rooted
+    at CURATOR_RAY_SPILL_DIR (default a tmpdir; on a multi-node cluster point
+    it at storage every worker can reach). Cleaned up at process exit — the
+    split consumers below are lazy, so the files must outlive this call."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if os.environ.get("CURATOR_RAY_STAR_SPILL", "1") == "0":
+        return None
+    root = os.environ.get("CURATOR_RAY_SPILL_DIR")
+    path = tempfile.mkdtemp(prefix="star_scan_", dir=root)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def global_star_sorted(reps, key_cols: list[str], rep_col: str = "rep"):
     """Representative Dataset -> star-edge Dataset (src=key-min rep, dst=other
     reps of the same key), via one sort + vectorized run scan + tiny driver
-    boundary merge. All key/rep columns must be int64."""
+    boundary merge. All key/rep columns must be int64.
+
+    The scan output (O(edges) rows) feeds two consumers — the edge filter and
+    the boundary collect — so it must be made re-readable once. By default it
+    is spilled to zstd parquet via a streaming ``write_parquet`` (never
+    resident in the object store: at 10^12-row scale the edge volume would
+    otherwise ride plasma for the life of the downstream CC stage); set
+    CURATOR_RAY_STAR_SPILL=0 to keep the old ``materialize()`` behavior."""
     import functools
 
     import pyarrow.compute as pc
@@ -220,15 +263,25 @@ def global_star_sorted(reps, key_cols: list[str], rep_col: str = "rep"):
 
     from .cc import _collect_small
 
-    scanned = (
-        reps.sort(key_cols)
-        .map_batches(
-            functools.partial(_scan_star_block, key_cols=key_cols, rep_col=rep_col),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .materialize()
+    scanned = reps.sort(key_cols).map_batches(
+        functools.partial(_scan_star_block, key_cols=key_cols, rep_col=rep_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    spill = _star_spill_dir()
+    if spill is not None:
+        import os
+
+        scanned.write_parquet(spill, compression="zstd")
+        if any(f.endswith(".parquet") for f in os.listdir(spill)):
+            scanned = ray.data.read_parquet(spill)
+        else:  # empty dataset produced no files
+            empty = {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            empty.update({k: pa.array([], pa.int64()) for k in key_cols})
+            empty[rep_col] = pa.array([], pa.int64())
+            scanned = ray.data.from_arrow(pa.table(empty))
+    else:
+        scanned = scanned.materialize()
     edges = scanned.map_batches(
         lambda b: b.select(["src", "dst"]).filter(pc.is_valid(b.column("src"))),
         batch_format="pyarrow",

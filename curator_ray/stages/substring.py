@@ -119,11 +119,18 @@ def _fp_emit(batch: pa.Table, *, packed_ref) -> pa.Table:
 
 
 def _global_fp_broadcast(reps, max_broadcast: int = 20_000_000):
+    import logging
+
     import ray
 
-    from .sortagg import dup_bucket_table
+    from .sortagg import DupBucketOverflow, dup_bucket_table, global_star_sorted
 
-    dup = dup_bucket_table(reps, ["fp"], max_rows=max_broadcast)
+    try:
+        dup = dup_bucket_table(reps, ["fp"], max_rows=max_broadcast)
+    except DupBucketOverflow as exc:
+        # degrade to the driver-table-free sortscan path instead of aborting
+        logging.getLogger(__name__).warning("%s; retrying in sortscan mode", exc)
+        return global_star_sorted(reps, ["fp"], rep_col="rep")
     keys = dup.column("fp").to_numpy().astype(np.int64)
     vals = dup.column("min_rep").to_numpy().astype(np.int64)
     order = np.argsort(keys)
