@@ -37,12 +37,12 @@ def _read(sf_dir: str, name: str):
 def _synth_dir(sf_dir: str) -> str:
     """Deterministic synthetic image+caption table (input_hint schema),
     cached under /tmp per size. Size scales mildly with sf."""
-    from curator_ray.sources.synth import write_synth_dataset
+    from curator_ray.sources.synth import SYNTH_VERSION, write_synth_dataset
 
     m = re.search(r"sf([0-9.]+)", sf_dir or "")
     sf = float(m.group(1)) if m else 0.01
     n = max(_SYNTH_ROWS, min(int(20000 * sf), 2000))
-    path = f"/tmp/curator_ray_synth_{n}"
+    path = f"/tmp/curator_ray_synth_v{SYNTH_VERSION}_{n}"
     if not os.path.exists(os.path.join(path, "part-000000000000.parquet")):
         write_synth_dataset(path, n_rows=n, rows_per_file=500)
     return path

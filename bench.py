@@ -98,9 +98,9 @@ def _synth_bench_dir(n_rows: int) -> str:
     (FIXTURES.md F1: pixels optional at bench scale); cached across runs."""
     import ray
 
-    from curator_ray.sources.synth import generate_rows
+    from curator_ray.sources.synth import SYNTH_VERSION, generate_rows
 
-    path = f"/tmp/curator_ray_bench_{n_rows}"
+    path = f"/tmp/curator_ray_bench_v{SYNTH_VERSION}_{n_rows}"
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
         return path

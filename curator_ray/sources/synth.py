@@ -30,6 +30,10 @@ import pyarrow.parquet as pq
 from ..functions.phash import phash64
 from ..functions.png import encode_png
 
+# bump when generated content changes (consumers key caches on it; v2 =
+# 8x8 coarse grid, de-quadratic pHash collision mass)
+SYNTH_VERSION = 2
+
 SCHEMA = pa.schema(
     [
         ("image_id", pa.string()),
@@ -53,12 +57,23 @@ _WORDS = (
 
 
 def _base_pixels(rng: np.random.RandomState, size: int) -> np.ndarray:
-    """Low-frequency procedural RGB so small perturbations keep pHash close."""
-    coarse = rng.randint(0, 256, size=(4, 4, 3)).astype(np.float64)
-    # bilinear upsample 4x4 -> size x size per channel
-    idx = np.linspace(0, 3, size)
+    """Low-frequency procedural RGB so small perturbations keep pHash close.
+
+    The coarse grid is 8x8 — the same extent as the pHash 8x8 DCT block — so
+    every AC coefficient the hash thresholds is driven by independent random
+    values and per-image hash entropy is ~full 63 bits. The earlier 4x4 grid
+    left most of the block near zero (~16 effective coefficients), which at
+    Hamming<=4 produced O(N^2) birthday near-dup pairs among UNRELATED images
+    at the 10M-row rehearsal scale (PERF.md round-4 fit c=4.7e-9) — a
+    generator artifact real corpora don't show, masking planted-recall
+    accounting. Duplicate-role perturbations (brightness +2) are unaffected:
+    they move only the DC term, which pHash excludes."""
+    g = 8
+    coarse = rng.randint(0, 256, size=(g, g, 3)).astype(np.float64)
+    # bilinear upsample g x g -> size x size per channel
+    idx = np.linspace(0, g - 1, size)
     i0 = np.floor(idx).astype(int)
-    i1 = np.minimum(i0 + 1, 3)
+    i1 = np.minimum(i0 + 1, g - 1)
     frac = idx - i0
     out = np.empty((size, size, 3))
     for c in range(3):
