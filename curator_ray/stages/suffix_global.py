@@ -743,13 +743,21 @@ def _ckpt_round(manifest, i: int, fp: str, out_dir: str, build):
     ctr = {"sa_round_rows": 0, "sa_round_files": 0}
     if rows is not None:
         os.makedirs(out_dir, exist_ok=True)
-        rows.write_parquet(out_dir, min_rows_per_file=32_768)
+        # insurance copy OFF the critical path: the round stays materialized
+        # in plasma for the next round (exactly the checkpoint-off memory
+        # profile) and the parquet write is a side copy from plasma blocks —
+        # downstream never pays the disk re-read + decompress that routing
+        # the chain through read_parquet cost (~2x at 1M, PERF.md r4); only
+        # a RESUME reads the files. zstd: the (pos, rank) int64 tables
+        # compress ~2.4x and the sandbox disk is the bound, not CPU.
+        rows = rows.materialize()
+        rows.write_parquet(out_dir, min_rows_per_file=32_768, compression="zstd")
         ctr = dir_counters(out_dir, stage)
     # the manifest record is the atomic commit point (after the write)
     manifest.record(stage, part, fp, counters=ctr)
     if ctr["sa_round_rows"] == 0:
         return None
-    return ray.data.read_parquet(out_dir)
+    return rows
 
 
 def suffix_array_candidate_edges(
@@ -759,6 +767,7 @@ def suffix_array_candidate_edges(
     id_field: str = "_id",
     emit: str = "star",
     checkpoint_path: str | None = None,
+    checkpoint_every: int = 2,
 ):
     """Exact duplicate-span edges: (src, dst) doc-id pairs that share an exact
     byte span >= ``min_match_length``.  ``emit="star"`` (default) links each
@@ -766,14 +775,19 @@ def suffix_array_candidate_edges(
     returns every sharing pair (verification/oracle mode — O(group^2)).
 
     ``checkpoint_path`` opts into mid-stage resume (the north rule's
-    per-partition lineage + counters): the doc mapping and every non-final
-    doubling round are persisted to parquet under it with a
+    per-partition lineage + counters): the doc mapping and a subset of the
+    non-final doubling rounds are persisted to zstd parquet under it with a
     ``CheckpointManifest`` entry per round carrying the post-prune row count
     (the pruning curve), keyed by a fingerprint of (corpus block summaries,
-    config, row layout).  A rerun after a crash recomputes only the rounds
-    after the last committed one — each round costs 2 full Dataset sorts, so
-    at scale a resumed run skips hours of shuffle.  Reference parity: the
-    reference's resumability is per-source-partition only
+    config, row layout).  ``checkpoint_every`` trades insurance for write
+    cost: every ``checkpoint_every``-th round (plus the last non-final
+    round, the highest-value one) is committed, and a rerun after a crash
+    resumes from the LAST committed round — recomputing at most
+    ``checkpoint_every - 1`` rounds — found by look-ahead, so committed
+    rounds are never re-executed even when rounds between them were
+    skipped.  Each round costs 2 full Dataset sorts, so at scale a resumed
+    run skips hours of shuffle.  Reference parity: the reference's
+    resumability is per-source-partition only
     (``pipeline/pipeline.py:231-258``); this is strictly finer."""
     assert min_match_length >= 8, "suffix-array stage needs min_match_length >= 8"
     import ray
@@ -839,22 +853,45 @@ def suffix_array_candidate_edges(
     # sort round via mapping's lazy lineage
     del docs
     steps = _schedule(min_match_length)
-    for i, k in enumerate(steps):
+    start = 0
+    ckpt_rounds: set[int] = set()
+    if manifest is not None:
+        import os
+
+        from ..state.manifest import fingerprint as _fp
+
+        every = max(1, checkpoint_every)
+        # commit every `every`-th round plus the last non-final round (the
+        # highest-value commit: a crash in the final edge emission resumes
+        # past every sort round)
+        ckpt_rounds = {i for i in range(len(steps) - 1) if i % every == every - 1}
+        if len(steps) >= 2:
+            ckpt_rounds.add(len(steps) - 2)
+        # chain the fingerprint through the schedule position so a
+        # min_match_length change (different steps) can never resume a
+        # round computed under another schedule
+        fps = {i: _fp(corpus_fp, i, steps[i], tuple(steps)) for i in range(len(steps) - 1)}
+        # look-ahead resume: find the LAST committed round and start after
+        # it, so skipped rounds between commits are never re-executed
+        for i in sorted(ckpt_rounds, reverse=True):
+            ent = manifest.entry("sa_round", f"r{i}")
+            if ent is not None and ent.get("fingerprint") == fps[i]:
+                if ent.get("counters", {}).get("sa_round_rows", 0) == 0:
+                    return ray.data.from_arrow(_EMPTY_EDGES)
+                rows = ray.data.read_parquet(os.path.join(checkpoint_path, f"round_{i}"))
+                start = i + 1
+                break
+    for i in range(start, len(steps)):
+        k = steps[i]
         final = i == len(steps) - 1
-        if manifest is not None and not final:
+        if manifest is not None and not final and i in ckpt_rounds:
             import os
 
-            from ..state.manifest import fingerprint as _fp
-
-            # chain the fingerprint through the schedule position so a
-            # min_match_length change (different steps) can never resume a
-            # round computed under another schedule
-            fp_i = _fp(corpus_fp, i, k, tuple(steps))
             rows_in = rows
             rows = _ckpt_round(
                 manifest,
                 i,
-                fp_i,
+                fps[i],
                 os.path.join(checkpoint_path, f"round_{i}"),
                 lambda: _round(rows_in, k, final=False, mode=emit, off_bits=off_bits),
             )

@@ -77,17 +77,19 @@ def test_checkpointed_run_matches_oracle(ray_session, tmp_path):
     assert exp, "fixture must plant pairs"
     assert _run(docs, ids, tmp_path / "ck") == exp
 
-    # lineage: one manifest entry per non-final round + the mapping, each
-    # carrying row counters (the pruning curve)
+    # lineage: manifest entries for the mapping + the committed rounds
+    # (checkpoint_every=2 default: every other round plus the last
+    # non-final one — steps(30)=[7,14,2] commits exactly r1), each carrying
+    # row counters (the pruning curve)
     from curator_ray.state.manifest import CheckpointManifest
 
     m = CheckpointManifest(str(tmp_path / "ck" / "_checkpoints"))
     stages = {(e["stage"], e["partition"]) for e in m.entries()}
-    n_rounds = len(sg._schedule(30))
     assert ("sa_mapping", "all") in stages
-    assert {("sa_round", f"r{i}") for i in range(n_rounds - 1)} <= stages
-    r0 = m.entry("sa_round", "r0")
-    assert r0 is not None and r0["counters"]["sa_round_rows"] > 0
+    assert ("sa_round", "r1") in stages
+    assert ("sa_round", "r0") not in stages  # skipped by the every-other policy
+    r1 = m.entry("sa_round", "r1")
+    assert r1 is not None and r1["counters"]["sa_round_rows"] > 0
 
 
 def test_resume_recomputes_only_final_round(ray_session, tmp_path, monkeypatch):
@@ -121,8 +123,9 @@ def test_crash_before_round_commit_resumes_midstage(ray_session, tmp_path, monke
 
     calls = _spy_rounds(monkeypatch)
     assert _run(docs, ids, tmp_path / "ck") == exp
-    # round 0 resumed from parquet; round 1 + final recomputed
-    assert calls["n"] == 2
+    # with checkpoint_every=2 round 0 was never committed, so losing round
+    # 1's commit restarts the chain: rounds 0, 1 and the final recomputed
+    assert calls["n"] == 3
 
 
 def test_config_change_invalidates_chain(ray_session, tmp_path, monkeypatch):
