@@ -88,6 +88,7 @@ def image_dedup_workflow(
     write_survivors: bool = True,
     checkpoint: bool = True,
     survivors_format: str = "parquet",
+    sigs_materialize: bool = True,
 ) -> dict:
     """Run the full dedup; returns counters (rows, duplicates, survivors).
 
@@ -96,6 +97,13 @@ def image_dedup_workflow(
     all edge sources union lazily into one connected-components pass. Use it
     when resumability isn't needed (benchmarks, small jobs); the default
     checkpointed path is the ops-grade flow.
+
+    ``sigs_materialize=False`` (streaming path only) keeps the signature
+    projection fully lazy — each edge builder re-reads the pruned columns
+    from storage instead of sharing one plasma-resident copy. Measured
+    slower at bench scale (re-read + re-id per builder vs one ~90 B/row
+    round trip), but the right call when rows x 90 B outgrows the cluster's
+    aggregate object store (SCALE.md).
     """
     import ray
 
@@ -104,7 +112,7 @@ def image_dedup_workflow(
     if not checkpoint:
         return _streaming_workflow(
             input_path, output_path, fuzzy, simhash, use_substring, substring_min_length,
-            write_survivors, survivors_format,
+            write_survivors, survivors_format, sigs_materialize=sigs_materialize,
         )
     cache_dir = cache_dir or os.path.join(output_path, "_cache")
     manifest = CheckpointManifest(os.path.join(output_path, "_checkpoints"))
@@ -277,6 +285,7 @@ def _streaming_workflow(
     substring_min_length: int,
     write_survivors: bool,
     survivors_format: str = "parquet",
+    sigs_materialize: bool = True,
 ) -> dict:
     """Checkpoint-free path: one object-store materialization of the
     signature projection, lazily-unioned edge sources, one CC pass."""
@@ -311,10 +320,13 @@ def _streaming_workflow(
     # one plasma round trip of ~90 B/row); minhash stays LAZY on top of it so
     # the (rows x num_hashes x 4B) signature matrix still never touches the
     # object store — plasma first-touch page faults are a measured serial
-    # bottleneck in this sandbox (PERF.md)
-    sigs_mat = sigs.materialize()
+    # bottleneck in this sandbox (PERF.md). sigs_materialize=False keeps the
+    # projection lazy for corpora where rows x 90 B outgrows aggregate
+    # plasma: each builder then re-reads the pruned columns from storage,
+    # which streams with zero resident footprint (SCALE.md).
+    sigs_mat = sigs.materialize() if sigs_materialize else sigs
     mh = minhash_stage(sigs_mat, fuzzy, keep_fields=(fuzzy.id_field,))
-    _phase("sigs_materialize")
+    _phase("sigs_materialize" if sigs_materialize else "sigs_lazy")
 
     def _build_lsh():
         return lsh_candidate_edges(mh, fuzzy)
