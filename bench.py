@@ -305,6 +305,130 @@ def bench_substring_exact(n_rows: int) -> float:
 
 
 SUBSTRING_EXACT_SUITE_ROWS = 100_000
+REALBYTES_SUITE_ROWS = 100_000
+
+
+def _realbytes_tar_dir(n_rows: int) -> str:
+    """WebDataset tar shards carrying REAL encoded PNG bytes (cached)."""
+    import ray
+
+    from curator_ray.sources.synth import SYNTH_VERSION, write_synth_dataset
+    from curator_ray.sources.tar import write_webdataset
+
+    path = f"/tmp/curator_ray_realbytes_v{SYNTH_VERSION}_{n_rows}"
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    pq_dir = path + "_pq"
+    shutil.rmtree(pq_dir, ignore_errors=True)
+    write_synth_dataset(pq_dir, n_rows, use_ray=True, rows_per_file=4096)
+    os.makedirs(path, exist_ok=True)
+    # consume the shard manifest to drive the write (one scalar to the driver)
+    write_webdataset(ray.data.read_parquet(pq_dir), path, images_per_tar=2000).sum("n_images")
+    shutil.rmtree(pq_dir, ignore_errors=True)
+    open(marker, "w").write("ok")
+    return path
+
+
+def bench_realbytes(n_rows: int) -> tuple[float, dict]:
+    """Reference-shaped END-TO-END image pipeline on real encoded bytes
+    (``benchmarking/scripts/image_pipeline_benchmark.py:129`` shape): tar
+    read -> PNG decode (repo codec) + pHash recompute -> stub CLIP embed on
+    the decoded pixels -> caption+phash dedup (LSH + simhash + CC) ->
+    survivor tar write with byte passthrough. The per-row invariant
+    (decoded-pixel equality / PSNR = inf for the lossless format, caption
+    equality) is verified on a sample AFTER the clock stops."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from curator_ray.config import FuzzyDedupConfig, SimHashConfig
+    from curator_ray.sources.tar import read_webdataset, write_webdataset
+    from curator_ray.stages.cc import connected_components, removal_ids
+    from curator_ray.stages.ids import with_ids
+    from curator_ray.stages.image import decode_stage, embed_stage
+    from curator_ray.stages.lsh import lsh_candidate_edges
+    from curator_ray.stages.minhash import minhash_stage
+    from curator_ray.stages.removal import remove_by_ids
+
+    tar_dir = _realbytes_tar_dir(n_rows)
+    out = "/tmp/curator_ray_realbytes_out"
+    shutil.rmtree(out, ignore_errors=True)
+    fuzzy = FuzzyDedupConfig(char_ngrams=12)
+    t0 = time.time()
+    ds = read_webdataset(tar_dir)
+    ds = decode_stage(ds, concurrency=(1, NUM_CPUS), verify_phash=True)
+    ds = ds.drop_columns(["bytes"])  # pixels carry forward; blobs re-read for survivors
+    ds = embed_stage(ds, dim=64, concurrency=(1, NUM_CPUS), batch_size=256)
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": b.column("image_id"),
+                "caption": b.column("caption"),
+                "phash": b.column("phash_recomputed"),
+            }
+        )
+
+    sigs = with_ids(
+        ds.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True),
+        key_field="image_id",
+    ).materialize()  # pixels/embeddings are dropped here; ~90 B/row survives
+    mh = minhash_stage(sigs, fuzzy, keep_fields=(fuzzy.id_field,))
+    from curator_ray.stages.simhash import simhash_candidate_edges
+
+    edges = lsh_candidate_edges(mh, fuzzy).union(simhash_candidate_edges(sigs, SimHashConfig()))
+    labels = connected_components(edges, fuzzy)
+    removal = removal_ids(labels)
+    n_dups = removal.count()
+    full = with_ids(read_webdataset(tar_dir), key_field="image_id")
+    surv = remove_by_ids(full, removal, id_field=fuzzy.id_field).drop_columns([fuzzy.id_field])
+    n_surv = int(write_webdataset(surv, out, images_per_tar=2000).sum("n_images") or 0)
+    wall = time.time() - t0
+
+    # -- invariant check, OFF the clock ------------------------------------
+    from curator_ray.sources.synth import generate_rows
+    from curator_ray.stages.image import decode_image
+
+    sample = read_webdataset(out).limit(50).take_all()
+    ok = True
+    for r in sample:
+        i = int(r["image_id"].split("_")[1])
+        golden = generate_rows(np.array([i]))
+        want = decode_image(golden.column("bytes")[0].as_py(), "png")
+        got = decode_image(r["bytes"], r["fmt"])
+        if not (np.array_equal(want, got) and r["caption"] == golden.column("caption")[0].as_py()):
+            ok = False
+            break
+    return wall, {
+        "realbytes_rows": n_rows,
+        "realbytes_duplicates": n_dups,
+        "realbytes_survivors": n_surv,
+        "realbytes_psnr_inf_ok": ok,
+    }
+
+
+def run_realbytes_only() -> dict:
+    import ray
+
+    _ray_init(NUM_CPUS)
+    n = int(os.environ.get("GRAFT_REALBYTES_ROWS", str(REALBYTES_SUITE_ROWS)))
+    _realbytes_tar_dir(n)  # build shards outside the timed region
+    fault_gbps = fault_bandwidth_probe()
+    _warm_workers(NUM_CPUS)
+    t, counters = bench_realbytes(n)
+    ray.shutdown()
+    return {
+        **counters,
+        "metric": "real-bytes image pipeline wall time",
+        "value": round(t, 3),
+        "unit": "sec",
+        "queries": {"realbytes_pipeline": round(t, 3)},
+        "num_cpus": NUM_CPUS,
+        "images_per_sec": round(n / t, 1),
+        "fault_gbps": fault_gbps,
+    }
 
 
 def run_suite() -> dict:
@@ -333,6 +457,10 @@ def run_suite() -> dict:
     queries["semantic_dedup"] = round(bench_semantic(), 3)
     n_sub = min(n_img, SUBSTRING_EXACT_SUITE_ROWS)
     queries["substring_exact_edges"] = round(bench_substring_exact(n_sub), 3)
+    n_rb = min(n_img, REALBYTES_SUITE_ROWS)
+    _realbytes_tar_dir(n_rb)  # shard build cached outside the timed region
+    t_rb, rb_counters = bench_realbytes(n_rb)
+    queries["realbytes_pipeline"] = round(t_rb, 3)
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "curator_ray dedup suite wall time",
@@ -347,6 +475,8 @@ def run_suite() -> dict:
         "flagship_runs": [round(t_a, 3), round(t_b, 3)],
         "fault_gbps": fault_gbps,
         "substring_exact_rows": n_sub,
+        "realbytes_images_per_sec": round(n_rb / t_rb, 1),
+        **rb_counters,
     }
     ray.shutdown()
     return result
@@ -557,5 +687,7 @@ if __name__ == "__main__":
         print(json.dumps(run_flagship_only()))
     elif "--substring-exact" in sys.argv:
         print(json.dumps(run_substring_exact_only()))
+    elif "--realbytes" in sys.argv:
+        print(json.dumps(run_realbytes_only()))
     else:
         print(json.dumps(run_suite()))

@@ -31,8 +31,11 @@ from ..functions.phash import phash64
 from ..functions.png import encode_png
 
 # bump when generated content changes (consumers key caches on it; v2 =
-# 8x8 coarse grid, de-quadratic pHash collision mass)
-SYNTH_VERSION = 2
+# 8x8 coarse grid, de-quadratic pHash collision mass; v3 = 240-word caption
+# vocabulary, de-quadratic shared->=50-char-span mass: with 60 words, TRUE
+# long caption spans recur across random pairs at birthday rates, putting a
+# c*N^2 term in the substring builder's duplicate count at rehearsal scale)
+SYNTH_VERSION = 3
 
 SCHEMA = pa.schema(
     [
@@ -52,7 +55,25 @@ _WORDS = (
     "painting photograph sketch close-up aerial panoramic portrait landscape "
     "dog cat fox horse falcon otter heron rabbit deer whale child sailor "
     "walking resting flying drifting glowing standing watching running "
-    "beside beneath above across through against during within under over"
+    "beside beneath above across through against during within under over "
+    "valley glacier lagoon prairie tundra canyon plateau estuary dune cliff "
+    "marsh fjord reef atoll delta ridge summit basin grove thicket "
+    "dawn dusk twilight noon midnight spring summer equinox solstice eclipse "
+    "amber azure scarlet violet indigo emerald turquoise ochre sepia ivory "
+    "mural fresco etching woodcut collage daguerreotype tintype charcoal pastel watercolor "
+    "wolf lynx badger weasel marten osprey kestrel plover curlew sandpiper "
+    "salmon trout sturgeon pelican cormorant gull tern albatross puffin gannet "
+    "farmer fisher weaver potter smith shepherd miller baker carpenter mason "
+    "climbing paddling rowing sailing gliding soaring wading grazing foraging nesting "
+    "leaping crouching perching basking prowling stalking bounding trotting ambling pacing "
+    "toward behind beyond amid betwixt alongside underneath atop outside inside "
+    "storm breeze drizzle downpour blizzard fog mist frost thaw hail "
+    "harvest orchid lupine aster bramble fern moss lichen sedge reed "
+    "cobblestone rampart turret spire cloister archway portico colonnade belfry parapet "
+    "lighthouse windmill watermill granary stable barn silo wharf jetty pier "
+    "canoe skiff ketch schooner barge ferry trawler dinghy catamaran sloop "
+    "violet-hued sunlit moonlit starlit lamplit rainswept windswept snowbound mistveiled dew-laden "
+    "weathered gnarled mossy lichened crumbling gleaming shimmering rippling swaying rustling"
 ).split()
 
 

@@ -140,9 +140,23 @@ class FakeClipEmbedder:
         return (blocks.reshape(-1) / 255.0).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch.column("bytes").to_pylist()
-        fmts = batch.column("fmt").to_pylist()
-        feats = np.stack([self._features(decode_image(b, f)) for b, f in zip(blobs, fmts)]) if blobs else np.zeros((0, 48), np.float32)
+        if "pixels" in batch.column_names:
+            # decode-once composition: an upstream DecodeStage already paid
+            # the codec; reshape its flat uint8 rows instead of re-decoding
+            col = batch.column("pixels")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ws = batch.column("w").to_numpy()
+            hs = batch.column("h").to_numpy()
+            arrs = [
+                np.asarray(col[i].values).reshape(int(hs[i]), int(ws[i]), 3)
+                for i in range(len(col))
+            ]
+            feats = np.stack([self._features(a) for a in arrs]) if arrs else np.zeros((0, 48), np.float32)
+        else:
+            blobs = batch.column("bytes").to_pylist()
+            fmts = batch.column("fmt").to_pylist()
+            feats = np.stack([self._features(decode_image(b, f)) for b, f in zip(blobs, fmts)]) if blobs else np.zeros((0, 48), np.float32)
         out = np.empty((len(feats), self.dim), np.float32)
         for s in range(0, len(feats), self.inference_batch_size):
             out[s : s + self.inference_batch_size] = feats[s : s + self.inference_batch_size] @ self.proj
