@@ -263,10 +263,20 @@ def global_star_sorted(reps, key_cols: list[str], rep_col: str = "rep"):
 
     from .cc import _collect_small
 
-    scanned = reps.sort(key_cols).map_batches(
-        functools.partial(_scan_star_block, key_cols=key_cols, rep_col=rep_col),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # project to exactly the scanned columns — extra columns (e.g. a
+    # combiner count) would ride the whole sort shuffle for nothing
+    scanned = (
+        reps.map_batches(
+            lambda b, cols=tuple(key_cols) + (rep_col,): b.select(list(cols)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort(key_cols)
+        .map_batches(
+            functools.partial(_scan_star_block, key_cols=key_cols, rep_col=rep_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
     spill = _star_spill_dir()
     if spill is not None:
