@@ -30,7 +30,10 @@ def test_cli_dedup_substring_exact_and_rerun(ray_session, tmp_path, capsys):
     assert c1["num_duplicates"] > 0
     # lineage: the SA stage's per-round post-prune row counts surface in the
     # workflow counters (and stay JSON-serializable for the CLI)
-    assert c1["sa_pruning_curve"]["r0"] > 0
+    # checkpoint_every=2 commits every other round plus the last non-final
+    # one, so the curve carries the committed subset — non-empty, positive
+    curve = c1["sa_pruning_curve"]
+    assert curve and all(v > 0 for v in curve.values())
 
     # the SA stage's per-round checkpoints were written under the cache
     sa_ck = os.path.join(out, "_cache", "sa_rounds", "_checkpoints")
