@@ -357,10 +357,17 @@ def bench_realbytes(n_rows: int) -> tuple[float, dict]:
     shutil.rmtree(out, ignore_errors=True)
     fuzzy = FuzzyDedupConfig(char_ngrams=12)
     t0 = time.time()
+    # autoscale floor 8: a floor of 1 ramps the pool too slowly for a short
+    # stage, and a FIXED pool of NUM_CPUS deadlocks against upstream read
+    # tasks competing for the same CPUs (measured: 4.3 s vs 6.4 s vs hang)
+    pool = (min(8, NUM_CPUS), max(1, NUM_CPUS - 8))
     ds = read_webdataset(tar_dir)
-    ds = decode_stage(ds, concurrency=(1, NUM_CPUS), verify_phash=True)
+    ds = decode_stage(ds, concurrency=pool, verify_phash=True)
     ds = ds.drop_columns(["bytes"])  # pixels carry forward; blobs re-read for survivors
-    ds = embed_stage(ds, dim=64, concurrency=(1, NUM_CPUS), batch_size=256)
+    # NO outer batch_size: the embedder micro-batches internally; an outer
+    # one re-slices the pixels LargeList and re-serializes its full backing
+    # buffer per slice (measured 17x the whole front half, PERF.md round 5)
+    ds = embed_stage(ds, dim=64, concurrency=pool)
 
     def slim(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -384,7 +391,9 @@ def bench_realbytes(n_rows: int) -> tuple[float, dict]:
     n_dups = removal.count()
     full = with_ids(read_webdataset(tar_dir), key_field="image_id")
     surv = remove_by_ids(full, removal, id_field=fuzzy.id_field).drop_columns([fuzzy.id_field])
-    n_surv = int(write_webdataset(surv, out, images_per_tar=2000).sum("n_images") or 0)
+    n_surv = int(
+        write_webdataset(surv, out, images_per_tar=2000, concurrency=pool).sum("n_images") or 0
+    )
     wall = time.time() - t0
 
     # -- invariant check, OFF the clock ------------------------------------

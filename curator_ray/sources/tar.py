@@ -88,7 +88,7 @@ class _TarShardWriter:
         )
 
 
-def write_webdataset(ds, output_dir: str, images_per_tar: int = 1000):
+def write_webdataset(ds, output_dir: str, images_per_tar: int = 1000, concurrency: tuple[int, int] = (1, 8)):
     """Dataset[(image_id, bytes, fmt, caption?, ...)] -> tar shards +
     parquet sidecars under ``output_dir``. Returns the shard-manifest
     Dataset[(tar_file, n_images)] (consume it to drive the write)."""
@@ -98,7 +98,7 @@ def write_webdataset(ds, output_dir: str, images_per_tar: int = 1000):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=images_per_tar,
-        concurrency=(1, 8),
+        concurrency=concurrency,
     )
 
 
@@ -165,6 +165,12 @@ def read_webdataset(input_dir: str):
     if not paths:
         raise FileNotFoundError(f"no .tar shards under {input_dir}")
     items = pa.table({"path": pa.array(paths, pa.string())})
-    return ray.data.from_arrow(items).map_batches(
-        _read_shard, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+    # one BLOCK per path: from_arrow alone yields a single block, which
+    # would make this one serial read task (and starve downstream stages
+    # of blocks to parallelize over); the repartition is O(num_shards)
+    # driver rows, nothing more
+    return (
+        ray.data.from_arrow(items)
+        .repartition(len(paths))
+        .map_batches(_read_shard, batch_format="pyarrow", zero_copy_batch=True, batch_size=1)
     )

@@ -273,7 +273,9 @@ def bandwidth_stage(ds, audio_field: str = "audio", concurrency: tuple[int, int]
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=256,
+        # whole blocks: slicing a block with a binary payload column
+        # re-serializes its full backing buffer per slice (see
+        # image.decode_stage / PERF.md round 5); bound memory at the reader
     )
 
 
@@ -388,7 +390,7 @@ def band_filter_stage(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=128,
+        # whole blocks — see bandwidth_stage note on slice re-serialization
     )
 
 
@@ -536,7 +538,7 @@ def asr_inference_stage(
     model_name: str | None = None,
     audio_field: str = "audio",
     concurrency: tuple[int, int] = (1, 8),
-    batch_size: int = 128,
+    batch_size: int | None = None,
 ):
     return ds.map_batches(
         AsrInference,
@@ -544,7 +546,10 @@ def asr_inference_stage(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=batch_size,
+        # whole blocks unless the caller bounds batches explicitly —
+        # slicing a block with a binary payload column re-serializes its
+        # full backing buffer per slice (PERF.md round 5)
+        **({} if batch_size is None else {"batch_size": batch_size}),
     )
 
 
@@ -662,7 +667,7 @@ def vad_segmentation_stage(
     audio_field: str = "audio",
     model_name: str | None = None,
     concurrency: tuple[int, int] = (1, 8),
-    batch_size: int = 64,
+    batch_size: int | None = None,
     **vad_kwargs,
 ):
     return ds.map_batches(
@@ -671,7 +676,10 @@ def vad_segmentation_stage(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=batch_size,
+        # whole blocks unless the caller bounds batches explicitly —
+        # slicing a block with a binary payload column re-serializes its
+        # full backing buffer per slice (PERF.md round 5)
+        **({} if batch_size is None else {"batch_size": batch_size}),
     )
 
 
@@ -934,7 +942,7 @@ class SigmosFilter:
 def sigmos_filter_stage(
     ds,
     concurrency: tuple[int, int] = (1, 8),
-    batch_size: int = 64,
+    batch_size: int | None = None,
     **kwargs,
 ):
     return ds.map_batches(
@@ -943,7 +951,10 @@ def sigmos_filter_stage(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=batch_size,
+        # whole blocks unless the caller bounds batches explicitly —
+        # slicing a block with a binary payload column re-serializes its
+        # full backing buffer per slice (PERF.md round 5)
+        **({} if batch_size is None else {"batch_size": batch_size}),
     )
 
 
@@ -996,7 +1007,7 @@ class UtmosFilter:
 def utmos_filter_stage(
     ds,
     concurrency: tuple[int, int] = (1, 8),
-    batch_size: int = 64,
+    batch_size: int | None = None,
     **kwargs,
 ):
     return ds.map_batches(
@@ -1005,7 +1016,10 @@ def utmos_filter_stage(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=batch_size,
+        # whole blocks unless the caller bounds batches explicitly —
+        # slicing a block with a binary payload column re-serializes its
+        # full backing buffer per slice (PERF.md round 5)
+        **({} if batch_size is None else {"batch_size": batch_size}),
     )
 
 
@@ -1052,7 +1066,7 @@ class SquimMetrics:
 def squim_metrics_stage(
     ds,
     concurrency: tuple[int, int] = (1, 8),
-    batch_size: int = 64,
+    batch_size: int | None = None,
     **kwargs,
 ):
     return ds.map_batches(
@@ -1061,7 +1075,10 @@ def squim_metrics_stage(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=batch_size,
+        # whole blocks unless the caller bounds batches explicitly —
+        # slicing a block with a binary payload column re-serializes its
+        # full backing buffer per slice (PERF.md round 5)
+        **({} if batch_size is None else {"batch_size": batch_size}),
     )
 
 
@@ -1115,7 +1132,7 @@ class SpeakerDiarization:
 def diarization_stage(
     ds,
     concurrency: tuple[int, int] = (1, 4),
-    batch_size: int = 32,
+    batch_size: int | None = None,
     **kwargs,
 ):
     return ds.map_batches(
@@ -1124,7 +1141,10 @@ def diarization_stage(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=batch_size,
+        # whole blocks unless the caller bounds batches explicitly —
+        # slicing a block with a binary payload column re-serializes its
+        # full backing buffer per slice (PERF.md round 5)
+        **({} if batch_size is None else {"batch_size": batch_size}),
     )
 
 

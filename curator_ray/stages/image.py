@@ -72,14 +72,27 @@ class DecodeStage:
         return out
 
 
-def decode_stage(ds, concurrency: tuple[int, int] = (1, 8), verify_phash: bool = False):
+def decode_stage(
+    ds,
+    concurrency: tuple[int, int] = (1, 8),
+    verify_phash: bool = False,
+    batch_size: int | None = None,
+):
+    """batch_size defaults to None (whole blocks): slicing a block with a
+    binary/LargeList payload column re-serializes the block's full backing
+    buffer PER SLICE (measured ~30x traffic amplification at batch_size=64
+    on 2000-row blocks — PERF.md round 5). Bound per-task pixel memory by
+    sizing the UPSTREAM blocks (images_per_tar / target_max_block_size)
+    instead; pass an explicit batch_size only when decoded rows are so
+    large (e.g. 4K frames) that even one block overflows a worker heap."""
+    kw = {} if batch_size is None else {"batch_size": batch_size}
     return ds.map_batches(
         DecodeStage,
         fn_constructor_kwargs={"verify_phash": verify_phash},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=64,  # pixel payloads are large: keep batches small
+        **kw,
     )
 
 
@@ -109,14 +122,22 @@ class ResizeStage:
         return out.set_column(names.index("h"), "h", pa.array(hs, pa.int32()))
 
 
-def resize_stage(ds, out_w: int, out_h: int, concurrency: tuple[int, int] = (1, 8)):
+def resize_stage(
+    ds,
+    out_w: int,
+    out_h: int,
+    concurrency: tuple[int, int] = (1, 8),
+    batch_size: int | None = None,
+):
+    # whole blocks by default — see decode_stage on slice re-serialization
+    kw = {} if batch_size is None else {"batch_size": batch_size}
     return ds.map_batches(
         ResizeStage,
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=64,
+        **kw,
     )
 
 
@@ -166,14 +187,20 @@ class FakeClipEmbedder:
         return batch.append_column("embedding", pa.FixedSizeListArray.from_arrays(flat, self.dim))
 
 
-def embed_stage(ds, dim: int = 64, concurrency: tuple[int, int] = (1, 8), batch_size: int = 64):
+def embed_stage(ds, dim: int = 64, concurrency: tuple[int, int] = (1, 8), batch_size: int | None = None):
+    """batch_size defaults to None (whole blocks): activation memory is
+    bounded INSIDE the embedder by ``inference_batch_size``, and an outer
+    batch_size forces Ray to re-slice blocks — with a pixels LargeList
+    column each slice re-serializes the full backing buffer, measured 17x
+    slower (27.3 s vs 1.6 s front half at 100k rows, PERF.md round 5)."""
+    kw = {} if batch_size is None else {"batch_size": batch_size}
     return ds.map_batches(
         FakeClipEmbedder,
         fn_constructor_kwargs={"dim": dim},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=batch_size,
+        **kw,
     )
 
 

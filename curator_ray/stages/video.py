@@ -593,7 +593,10 @@ def motion_score_stage(ds, concurrency: tuple[int, int] = (1, 8), **kwargs):
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        batch_size=64,
+        # whole blocks: an outer batch_size re-serializes the mp4 binary
+        # column's full block buffer per slice (see image.decode_stage /
+        # PERF.md round 5); per-task decoded-frame memory is bounded inside
+        # the stage per row, and block size is bounded at the reader
     )
 
 
