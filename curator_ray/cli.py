@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--substring-min-length", type=int, default=50)
     d.add_argument("--no-survivors", action="store_true")
     d.add_argument("--no-checkpoint", action="store_true")
+    d.add_argument(
+        "--lazy-signatures",
+        action="store_true",
+        help="streaming path only: keep the (id, caption, phash) projection "
+        "lazy instead of plasma-resident — for corpora where rows x 90 B "
+        "outgrows the cluster's aggregate object store (SCALE.md)",
+    )
 
     s = sub.add_parser("synth", help="generate the synthetic image+caption table")
     s.add_argument("--output", required=True)
@@ -112,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
         substring_min_length=args.substring_min_length,
         write_survivors=not args.no_survivors,
         checkpoint=not args.no_checkpoint,
+        sigs_materialize=not args.lazy_signatures,
     )
     print(json.dumps(counters))
     return 0

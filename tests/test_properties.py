@@ -411,3 +411,54 @@ def test_distributed_sa_simulation_matches_oracle(data, n_docs, k, bs):
         texts[-1] = span + texts[-1]
     ids = list(range(101, 101 + n_docs))
     assert simulate(texts, ids, k, bs, "pairs") == sa_oracle_pairs(texts, ids, k)
+
+
+# -- sorted star-scan decomposition (stages/sortagg.py) ----------------------
+# The block scan + driver boundary merge must reconstruct EXACTLY the edge
+# set of a global per-key star, for ANY contiguous partitioning of the
+# sorted rows into blocks — the invariant the whole sortscan family
+# (LSH / simhash / exact / substring global stages) rests on.
+
+
+@given(
+    keys=st.lists(st.integers(0, 30), min_size=1, max_size=200),
+    seed=st.integers(0, 2**31 - 1),
+    nblocks=st.integers(1, 8),
+)
+@settings(max_examples=200, deadline=None)
+def test_star_scan_block_split_invariance(keys, seed, nblocks):
+    import pyarrow as pa
+
+    from curator_ray.stages.sortagg import _merge_star_boundary, _scan_star_block
+
+    rng = np.random.RandomState(seed)
+    k = np.array(keys, dtype=np.int64)
+    rep = rng.permutation(len(k)).astype(np.int64)  # unique reps
+    order = np.lexsort((rep, k))
+    sk, sr = k[order], rep[order]
+
+    # random contiguous split of the sorted rows into non-empty blocks
+    nblocks = min(nblocks, len(sk))
+    cuts = np.sort(rng.choice(np.arange(1, len(sk)), size=nblocks - 1, replace=False)) if nblocks > 1 else np.array([], np.int64)
+    bounds = np.concatenate([[0], cuts, [len(sk)]])
+
+    edges, btbl_parts = set(), []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        t = pa.table({"k": pa.array(sk[s:e], pa.int64()), "rep": pa.array(sr[s:e], pa.int64())})
+        out = _scan_star_block(t, key_cols=["k"], rep_col="rep")
+        ev = out.filter(pa.compute.is_valid(out.column("src")))
+        edges.update(zip(ev.column("src").to_pylist(), ev.column("dst").to_pylist()))
+        bv = out.filter(pa.compute.is_valid(out.column("k")))
+        btbl_parts.append(bv.select(["k", "rep"]))
+    btbl = pa.concat_tables(btbl_parts)
+    merged = _merge_star_boundary(btbl, ["k"], "rep")
+    edges.update(zip(merged.column("src").to_pylist(), merged.column("dst").to_pylist()))
+
+    groups: dict[int, list[int]] = {}
+    for kk, rr in zip(k.tolist(), rep.tolist()):
+        groups.setdefault(kk, []).append(rr)
+    want = set()
+    for members in groups.values():
+        m = min(members)
+        want.update((m, r) for r in members if r != m)
+    assert edges == want
