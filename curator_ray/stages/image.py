@@ -178,9 +178,20 @@ class FakeClipEmbedder:
             blobs = batch.column("bytes").to_pylist()
             fmts = batch.column("fmt").to_pylist()
             feats = np.stack([self._features(decode_image(b, f)) for b, f in zip(blobs, fmts)]) if blobs else np.zeros((0, 48), np.float32)
+        # fixed-shape GEMM chunks (zero-padded tail): float32 matmul results
+        # can differ in the last ulp when the chunk SHAPE differs (BLAS picks
+        # blocking by M), and a different Ray block layout would then produce
+        # different embeddings -> flipped k-means near-ties downstream. With
+        # every chunk exactly (inference_batch_size, 48) the per-row results
+        # are layout-independent.
+        ibs = self.inference_batch_size
         out = np.empty((len(feats), self.dim), np.float32)
-        for s in range(0, len(feats), self.inference_batch_size):
-            out[s : s + self.inference_batch_size] = feats[s : s + self.inference_batch_size] @ self.proj
+        buf = np.zeros((ibs, feats.shape[1] if len(feats) else 48), np.float32)
+        for s in range(0, len(feats), ibs):
+            m = min(ibs, len(feats) - s)
+            buf[:m] = feats[s : s + m]
+            buf[m:] = 0.0
+            out[s : s + m] = (buf @ self.proj)[:m]
         norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
         out = out / norms
         flat = pa.array(out.ravel(), pa.float32())
